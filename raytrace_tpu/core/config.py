@@ -1,0 +1,70 @@
+"""Typed render configuration.
+
+The reference scatters its real configuration over compile-time constants
+(SURVEY.md §5.6); every one of them is promoted to a field here:
+  scene_epsilon 0.1 / 0.01    photonmappingrenderer.cpp:52, simplerender.cpp:25
+  photon max depth 4          photonmappingrenderer.cpp:183
+  photon launch 512×512       photonmappingrenderer.cpp:184-185
+  randoms/bounce 3            photonmappingrenderer.cpp:182
+  progressive passes 1        photonmappingrenderer.cpp:38
+  initial gather radius² 4.0  raytracing.cu:123
+  PPM alpha 0.7               gathering.cu:116
+  specular depth cap 10       raytracing.cu:98
+  glass eta 1.5               cudamaterial.cu.h:118 (now per-material, this is
+                              just the default)
+  RNG seed 777                cudarandom.h:15
+  kd-tree stack depth 40      gathering.cu:9 (no analogue: we use a hash grid)
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # -- shared ---------------------------------------------------------
+    width: int = 256
+    height: int = 256
+    spp: int = 1                      # samples per pixel (stratified)
+    scene_epsilon: float = 0.1        # min-t for secondary rays
+    shadow_epsilon: float = 1e-3      # shadow ray [eps, 1-eps] on unnormalized dir
+    seed: int = 777                   # reference cuRAND default seed
+    max_light_samples: int = 4        # static cap on per-light nSamples
+
+    # -- camera-pass specular chains -------------------------------------
+    max_specular_depth: int = 10      # camera-ray specular bounce cap
+
+    # -- photon tracing ---------------------------------------------------
+    photon_paths: int = 512 * 512    # photon paths per progressive pass
+    max_photon_depth: int = 4         # diffuse deposits per path (= slot count)
+    max_photon_bounces: int = 10      # total walk iterations incl. specular
+    russian_roulette: bool = True     # reference has it commented out
+                                      # (photontracing.cu:173-178); BASELINE
+                                      # asks for per-bounce RR, so default on
+    halton_stride_by_depth: bool = False  # True = reference quirk: Halton
+                                      # indices stride by max_photon_depth
+                                      # (pm_index, photontracing.cu:82),
+                                      # which under-covers the base-2 dim;
+                                      # False = consecutive (pbrt behavior)
+    photon_passes: int = 1            # progressive photon passes
+
+    # -- progressive gathering --------------------------------------------
+    initial_radius2: float = 4.0      # per-pixel starting search radius²
+    ppm_alpha: float = 0.7            # Hachisuka radius-shrink alpha
+
+    # -- photon hash grid --------------------------------------------------
+    grid_max_photons_per_cell: int = 32  # static per-cell budget (masked)
+
+    # -- intersection -------------------------------------------------------
+    use_bvh: bool = False             # brute-force is faster for tiny scenes
+    ray_chunk: int = 0                # if >0, process rays in chunks this size
+
+    # -- differentiation -----------------------------------------------------
+    differentiable: bool = False      # True: bounded fori_loop walks (reverse-
+                                      # mode AD works, every ray pays the full
+                                      # bounce cap); False: early-exit
+                                      # while_loop (forward-only, faster)
+
+    @property
+    def n_pixel_samples(self) -> int:
+        return self.width * self.height * self.spp

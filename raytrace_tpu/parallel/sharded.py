@@ -1,0 +1,193 @@
+"""Multi-chip rendering over a jax.sharding.Mesh.
+
+The reference is single-GPU/single-process with no communication backend at
+all (SURVEY.md §2.6, §5.8). The TPU-native scale-out (BASELINE north star):
+
+  - camera-ray tiles sharded per chip (pixel-sample axis → 'chips');
+  - photon waves traced independently per chip, each covering a disjoint
+    slice of the GLOBAL photon path-id space (Halton indices + per-path RNG
+    keys are pure functions of the global id, so the union over any chip
+    count is the same photon set);
+  - per-chip photon maps `all_gather`ed over ICI, grid built per chip
+    (replicated compute, zero further comms during gather);
+  - scene/material parameter gradients `psum`ed by shard_map's transpose in
+    the backward sweep (train_step_sharded).
+
+Scene tables replicate (they are small relative to HBM; the 4M-triangle
+config is ~200 MB replicated — fine on v5p).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.sharding import Mesh, PartitionSpec as P
+
+from raytrace_tpu.core.config import RenderConfig
+from raytrace_tpu.ops import photon_grid
+from raytrace_tpu.renderers import common
+from raytrace_tpu.renderers import photon as photon_renderer
+from raytrace_tpu.scene.camera import PerspectiveCamera, generate_rays, pixel_samples
+from raytrace_tpu.scene.scene import Scene
+from raytrace_tpu.utils import film
+
+AXIS = "chips"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _radiance_shard(
+    scene: Scene,
+    camera: PerspectiveCamera,
+    xy_s: Array,
+    lens_s: Array,
+    key: Array,
+    config: RenderConfig,
+    light_samples: tuple,
+    n_chips: int,
+):
+    """Per-chip radiance for a shard of pixel samples. Runs inside shard_map."""
+    chip = jax.lax.axis_index(AXIS)
+    k_light, k_photon = jax.random.split(jax.random.fold_in(key, 1), 2)
+
+    rays = generate_rays(camera, xy_s, lens_s, config.spp)
+    rec = common.camera_pass(scene, rays.o, rays.d, config)
+    direct = common.direct_lighting(
+        scene, rec, jax.random.fold_in(k_light, chip), config, light_samples,
+        include_emitted=True,
+    )
+
+    n_local = xy_s.shape[0]
+    state = photon_renderer.ProgressiveState(
+        radius2=jnp.full((n_local,), config.initial_radius2, jnp.float32),
+        photon_count=jnp.zeros((n_local,), jnp.float32),
+        flux=jnp.zeros((n_local, 3), jnp.float32),
+    )
+
+    paths_local = max(1, config.photon_paths // n_chips)
+    cfg_local = dataclasses.replace(config, photon_paths=paths_local)
+    cell_size = jnp.sqrt(jnp.float32(config.initial_radius2))
+
+    for p in range(config.photon_passes):
+        # disjoint global photon-id slice per chip
+        photons_local = photon_renderer.trace_photons(
+            scene, cfg_local, k_photon, p, path_offset=chip * paths_local
+        )
+        # all-gather the photon wave over ICI → full map on every chip
+        photons_all = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, AXIS, tiled=True), photons_local
+        )
+        grid = photon_grid.build_photon_grid(photons_all, cell_size)
+        state = photon_renderer.gathering_pass(scene, rec, state, grid, config)
+
+    emitting = jnp.float32(paths_local * n_chips * config.photon_passes)
+    return photon_renderer.final_gathering(rec, direct, state, emitting)
+
+
+def render_photon_sharded(
+    scene: Scene,
+    camera: PerspectiveCamera,
+    config: RenderConfig,
+    key: Array,
+    mesh: Mesh,
+    jitter: bool = True,
+) -> Array:
+    """Sharded progressive photon render → [H, W, 3] image."""
+    light_samples = common.static_light_samples(scene, config)
+    return _render_sharded_jit(
+        scene, camera, key, config, light_samples, jitter, mesh
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("config", "light_samples", "jitter", "mesh")
+)
+def _render_sharded_jit(
+    scene: Scene,
+    camera: PerspectiveCamera,
+    key: Array,
+    config: RenderConfig,
+    light_samples: tuple,
+    jitter: bool,
+    mesh: Mesh,
+) -> Array:
+    n_chips = mesh.devices.size
+    k_pix, k_render = jax.random.split(key)
+    xy, lens = pixel_samples(
+        k_pix, config.width, config.height, config.spp, jitter=jitter
+    )
+    assert xy.shape[0] % n_chips == 0, (
+        f"pixel samples ({xy.shape[0]}) must divide the chip count {n_chips}"
+    )
+
+    shard_fn = jax.shard_map(
+        partial(
+            _radiance_shard,
+            config=config,
+            light_samples=light_samples,
+            n_chips=n_chips,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
+        out_specs=P(AXIS),
+    )
+    L = shard_fn(scene, camera, xy, lens, k_render)
+    return film.splat_box(xy, L, config.width, config.height)
+
+
+def train_step_sharded(
+    params,
+    target: Array,
+    scene: Scene,
+    camera: PerspectiveCamera,
+    config: RenderConfig,
+    key: Array,
+    mesh: Mesh,
+    lr: float = 0.05,
+):
+    """One inverse-rendering SGD step, sharded: forward renders with rays and
+    photons split over chips; shard_map's transpose psums the parameter
+    gradients during the backward sweep."""
+    from raytrace_tpu.diff.render import apply_params
+
+    light_samples = common.static_light_samples(scene, config)
+    return _train_step_jit(
+        params, target, scene, camera, key, config, light_samples, mesh, lr
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "light_samples", "mesh", "lr"),
+)
+def _train_step_jit(
+    params,
+    target: Array,
+    scene: Scene,
+    camera: PerspectiveCamera,
+    key: Array,
+    config: RenderConfig,
+    light_samples: tuple,
+    mesh: Mesh,
+    lr: float,
+):
+    from raytrace_tpu.diff.render import apply_params
+
+    def loss_fn(p):
+        img = _render_sharded_jit.__wrapped__(
+            apply_params(scene, p), camera, key, config, light_samples,
+            False, mesh,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+    return loss, new_params

@@ -1,0 +1,193 @@
+"""Shared render passes: the camera pass (with wavefront specular chains) and
+direct lighting with shadow rays.
+
+The reference does specular chains by device-side recursion inside the
+closest-hit program (raytracing.cu:90-104, depth cap 10) and direct lighting
+with in-kernel shadow rtTrace (raytracing.cu:49-84). On TPU both become
+masked wavefront iterations: a `lax.while_loop` over the whole ray batch for
+specular chains, and dense any-hit passes for shadow rays.
+"""
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from raytrace_tpu.core import vec
+from raytrace_tpu.core.config import RenderConfig
+from raytrace_tpu.ops import intersect as isect_ops
+from raytrace_tpu.scene.scene import Scene
+from raytrace_tpu.shading import light as light_ops
+from raytrace_tpu.shading import material as mat_ops
+
+BIG = isect_ops.BIG
+
+
+def bounded_loop(cond, body, init, n_iters: int, differentiable: bool):
+    """while_loop for forward-only speed (early exit when every lane is done)
+    or a fixed-trip fori_loop when reverse-mode AD must flow through the walk
+    (lax.while_loop has no transpose rule; bodies are fully masked so the
+    extra iterations are no-ops)."""
+    if differentiable:
+        return jax.lax.fori_loop(0, n_iters, lambda i, s: body(s), init)
+    return jax.lax.while_loop(cond, body, init)
+
+
+@flax.struct.dataclass
+class CameraRecords:
+    """Per-pixel-sample hit records — the RayTracingRecord buffer
+    (reference: photonmapping.h:7-24) as SoA tensors.
+
+    status: 0 = diffuse hit, 1 = miss, 2 = exception (specular chain > cap).
+    atten realizes the reference's declared-but-unused accum_atten: the
+    specular-chain throughput (with Kr applied — see shading/material.py).
+    """
+    status: Array  # [N] int32
+    p: Array  # [N, 3]
+    ns: Array  # [N, 3]
+    ng: Array  # [N, 3]
+    dpdu: Array  # [N, 3]
+    dpdv: Array  # [N, 3]
+    direction: Array  # [N, 3] incoming ray direction at the hit
+    mat: Array  # [N] int32
+    light: Array  # [N] int32
+    atten: Array  # [N, 3]
+
+    @property
+    def hit(self) -> Array:
+        return self.status == 0
+
+
+def camera_pass(
+    scene: Scene, o: Array, d: Array, config: RenderConfig
+) -> CameraRecords:
+    """Trace camera rays, following specular chains up to the cap
+    (reference: raytracing.cu:87-128)."""
+    n = o.shape[0]
+    eps = jnp.float32(config.scene_epsilon)
+
+    def empty_records():
+        z3 = jnp.zeros((n, 3), jnp.float32)
+        return CameraRecords(
+            status=jnp.full((n,), 1, jnp.int32),  # default miss
+            p=z3, ns=z3, ng=z3, dpdu=z3, dpdv=z3, direction=d,
+            mat=jnp.full((n,), -1, jnp.int32),
+            light=jnp.full((n,), -1, jnp.int32),
+            atten=jnp.ones((n, 3), jnp.float32),
+        )
+
+    def cond(state):
+        depth, active, *_ = state
+        return (depth <= config.max_specular_depth) & jnp.any(active)
+
+    def body(state):
+        depth, active, o, d, atten, rec = state
+        tmin = jnp.full((n,), eps)
+        hit = isect_ops.intersect(scene, o, d, tmin, jnp.full((n,), BIG))
+        spec = mat_ops.is_specular(scene.materials, hit.mat)
+        spec_hit = active & hit.valid & spec
+        diff_hit = active & hit.valid & ~spec
+        missed = active & ~hit.valid
+
+        w = lambda m, a, b: jnp.where(m[..., None] if a.ndim == 2 else m, a, b)
+        rec = CameraRecords(
+            status=jnp.where(diff_hit, 0, jnp.where(missed, 1, rec.status)),
+            p=w(diff_hit, hit.p, rec.p),
+            ns=w(diff_hit, hit.ns, rec.ns),
+            ng=w(diff_hit, hit.ng, rec.ng),
+            dpdu=w(diff_hit, hit.dpdu, rec.dpdu),
+            dpdv=w(diff_hit, hit.dpdv, rec.dpdv),
+            direction=w(diff_hit, d, rec.direction),
+            mat=jnp.where(diff_hit, hit.mat, rec.mat),
+            light=jnp.where(diff_hit, hit.light, rec.light),
+            atten=rec.atten,
+        )
+
+        thr, wi = mat_ops.specular(
+            scene.materials, hit.mat, hit.ns, hit.dpdu, -d
+        )
+        o2 = jnp.where(spec_hit[:, None], hit.p, o)
+        d2 = jnp.where(spec_hit[:, None], wi, d)
+        atten2 = jnp.where(spec_hit[:, None], atten * thr, atten)
+        return depth + 1, spec_hit, o2, d2, atten2, rec
+
+    depth, active, o, d, atten, rec = bounded_loop(
+        cond, body,
+        (jnp.int32(0), jnp.ones((n,), bool), o, d,
+         jnp.ones((n, 3), jnp.float32), empty_records()),
+        n_iters=config.max_specular_depth + 1,
+        differentiable=config.differentiable,
+    )
+    # rays still active past the cap → exception flag (reference:
+    # raytracing.cu:98-101)
+    rec = rec.replace(
+        status=jnp.where(active, 2, rec.status),
+        atten=atten,
+    )
+    return rec
+
+
+def static_light_samples(scene: Scene, config: RenderConfig) -> tuple[int, ...]:
+    """Concrete per-light sample counts, read on the host (static under jit)."""
+    ns = np.asarray(jax.device_get(scene.lights.n_samples))
+    return tuple(int(min(x, config.max_light_samples)) for x in ns)
+
+
+def direct_lighting(
+    scene: Scene,
+    rec: CameraRecords,
+    key: Array,
+    config: RenderConfig,
+    light_samples: tuple[int, ...],
+    include_emitted: bool = True,
+) -> Array:
+    """Direct lighting with shadow rays at the recorded hit points
+    (reference: raytracing.cu:49-84 directLight).
+
+    L = lightL(self) + Σ_lights Σ_s atten·|n_s·wi|·f·li / (pdf·nSamples)
+    Shadow rays run over the unnormalized uwi in [eps, 1-eps]
+    (reference: raytracing.cu:72).
+    """
+    n = rec.p.shape[0]
+    hit = rec.hit
+    wo = vec.normalize(-rec.direction)
+    L = jnp.zeros((n, 3), jnp.float32)
+    if include_emitted:
+        L += light_ops.light_L(scene.lights, rec.light, -rec.direction)
+
+    eps = config.shadow_epsilon
+    for i, ns_i in enumerate(light_samples):
+        for s in range(ns_i):
+            key, sub = jax.random.split(key)
+            # stratify the per-light samples over the s index (pbrt's
+            # stratified 2D arrays; reference reads bRandom2D at
+            # cudalight.cu.h:34-35)
+            u = jax.random.uniform(sub, (n, 2), dtype=jnp.float32)
+            sx, sy = _strata(ns_i)
+            kx, ky = s % sx, s // sx
+            u = (u + jnp.array([kx, ky], jnp.float32)) / jnp.array(
+                [sx, sy], jnp.float32
+            )
+            li, uwi, pdf = light_ops.sample_L_illum(scene.lights, i, rec.p, u)
+            shadowed = isect_ops.occluded(
+                scene, rec.p, uwi,
+                jnp.full((n,), eps, jnp.float32),
+                jnp.full((n,), 1.0 - eps, jnp.float32),
+            )
+            wi = vec.normalize(uwi)
+            fr = mat_ops.f(scene.materials, rec.mat, wo, wi)
+            cos = vec.absdot(rec.ns, wi)
+            good = hit & ~shadowed & (pdf > 0.0) & (vec.length_squared(li) > 0.0)
+            contrib = cos[:, None] * fr * li / (pdf[:, None] * ns_i)
+            L += jnp.where(good[:, None], contrib, 0.0)
+    return jnp.where(hit[:, None], L, 0.0)
+
+
+def _strata(n: int) -> tuple[int, int]:
+    sx, sy = n, 1
+    while sx > sy and (sx & 1) == 0:
+        sx //= 2
+        sy *= 2
+    return sx, sy

@@ -1,0 +1,316 @@
+"""Progressive photon-mapping renderer — the main workload.
+
+Reproduces the reference's 4-pass pipeline (photonmappingrenderer.cpp:31-45)
+as wavefront JAX passes:
+
+  1. camera pass      raytracing.cu           → renderers/common.camera_pass
+  2. photon tracing   photontracing.cu        → trace_photons (vmapped walk,
+                                                 permuted-Halton light samples,
+                                                 per-bounce Russian roulette —
+                                                 the reference has RR written
+                                                 but commented out,
+                                                 photontracing.cu:173-178)
+  3. photon gathering gathering.cu:104-126    → progressive radius/flux update
+                                                 over the hash grid (α = 0.7)
+  4. final gathering  gathering.cu:129-146    → L = DL + flux/(π r² Nemitted)
+
+Photon slots are disjoint per path exactly like the reference
+(pm_index = path·max_depth, photontracing.cu:82) — a [paths·max_depth] photon
+tensor with a validity mask instead of the kd-tree bitfields.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from raytrace_tpu.core import sampling, spectrum, vec
+from raytrace_tpu.core.config import RenderConfig
+from raytrace_tpu.ops import intersect as isect_ops
+from raytrace_tpu.ops import photon_grid
+from raytrace_tpu.renderers import common
+from raytrace_tpu.scene.camera import PerspectiveCamera, generate_rays, pixel_samples
+from raytrace_tpu.scene.scene import Scene
+from raytrace_tpu.shading import light as light_ops
+from raytrace_tpu.shading import material as mat_ops
+from raytrace_tpu.utils import film
+
+BIG = isect_ops.BIG
+
+
+@flax.struct.dataclass
+class ProgressiveState:
+    """Per-pixel-sample PPM statistics (the reference keeps these inside
+    RayTracingRecord, photonmapping.h:16-19). This pytree is the natural
+    checkpoint between photon waves (SURVEY.md §5.4)."""
+    radius2: Array  # [N]
+    photon_count: Array  # [N] float (α-weighted count)
+    flux: Array  # [N, 3]
+
+
+def trace_photons(
+    scene: Scene,
+    config: RenderConfig,
+    key: Array,
+    pass_idx: int,
+    light_index: int = 0,
+    path_offset=0,
+) -> photon_grid.PhotonMap:
+    """One photon wave: `photon_paths` light paths, ≤ max_photon_depth diffuse
+    deposits each (reference: photontracing.cu:80-185).
+
+    The emission sample is a permuted-Halton point at index path·max_depth
+    (matching pm_index striding, photontracing.cu:82-83); bounce uniforms come
+    from threefry folded with (pass, purpose) — a pure function of indices, so
+    results are reproducible at any sharding (unlike the reference's global
+    cuRAND stream, cudarandom.h:15).
+    """
+    n_paths = config.photon_paths
+    max_depth = config.max_photon_depth
+    k_perm, k_bounce = jax.random.split(jax.random.fold_in(key, pass_idx))
+
+    # emission sampling (photontracing.cu:83-97)
+    # path_offset shards the global Halton/RNG index space across chips:
+    # seeds are a pure function of (pass, global path id), so an N-chip render
+    # reproduces the 1-chip photon set exactly (SURVEY.md §7 hard part 5; the
+    # reference's single global cuRAND seed, cudarandom.h:15, is the
+    # anti-pattern this replaces).
+    perms = sampling.halton_permutations(k_perm)
+    stride = max_depth if config.halton_stride_by_depth else 1
+    halton_idx = (
+        jnp.arange(n_paths, dtype=jnp.uint32) + jnp.uint32(path_offset)
+    ) * jnp.uint32(stride)
+    smp = sampling.halton_sample_4d(halton_idx, perms)  # [paths, 4]
+    le, o, d, ns_l, pdf = light_ops.sample_Le(
+        scene.lights, light_index, smp[:, 0], smp[:, 1], smp[:, 2], smp[:, 3]
+    )
+    alpha = vec.absdot(ns_l, d)[:, None] * le / jnp.where(pdf == 0.0, 1.0, pdf)[:, None]
+    alive = (pdf > 0.0) & ~spectrum.is_black(le)
+
+    # 3 uniforms per diffuse bounce (photonmappingrenderer.cpp:182,208-210),
+    # derived per-path from the GLOBAL path id so any sharding reproduces the
+    # exact same photon set
+    global_ids = jnp.arange(n_paths, dtype=jnp.uint32) + jnp.uint32(path_offset)
+    path_keys = jax.vmap(lambda i: jax.random.fold_in(k_bounce, i))(global_ids)
+    uniforms = jax.vmap(
+        lambda k: jax.random.uniform(k, (max_depth + 1, 3), dtype=jnp.float32)
+    )(path_keys)
+
+    ph_p = jnp.zeros((n_paths, max_depth, 3), jnp.float32)
+    ph_alpha = jnp.zeros((n_paths, max_depth, 3), jnp.float32)
+    ph_wi = jnp.zeros((n_paths, max_depth, 3), jnp.float32)
+    ph_valid = jnp.zeros((n_paths, max_depth), bool)
+
+    eps = jnp.float32(config.scene_epsilon)
+    rows = jnp.arange(n_paths)
+
+    def cond(state):
+        it, alive, *_ = state
+        return (it < config.max_photon_bounces) & jnp.any(alive)
+
+    def body(state):
+        it, alive, o, d, alpha, n_int, ph = state
+        ph_p, ph_alpha, ph_wi, ph_valid = ph
+        hit = isect_ops.intersect(
+            scene, o, d, jnp.full((n_paths,), eps), jnp.full((n_paths,), BIG)
+        )
+        alive = alive & hit.valid  # miss → photon dies (photontracing.cu:193)
+        spec = mat_ops.is_specular(scene.materials, hit.mat)
+        spec_hit = alive & spec
+        diff_hit = alive & ~spec
+
+        # --- specular bounce (photontracing.cu:113-134) -------------------
+        thr, wi_s = mat_ops.specular(scene.materials, hit.mat, hit.ns, hit.dpdu, -d)
+
+        # --- diffuse: deposit if bounced at least once
+        # (indirect-only map, photontracing.cu:141-151) ---------------------
+        deposit = diff_hit & (n_int >= 1)
+        slot = jnp.clip(n_int - 1, 0, max_depth - 1)
+        dep_val = lambda buf, v: buf.at[rows, slot].set(
+            jnp.where(deposit[:, None] if v.ndim == 2 else deposit,
+                      v, buf[rows, slot])
+        )
+        ph_p = dep_val(ph_p, hit.p)
+        ph_alpha = dep_val(ph_alpha, alpha)
+        ph_wi = dep_val(ph_wi, -d)
+        ph_valid = ph_valid.at[rows, slot].set(
+            jnp.where(deposit, True, ph_valid[rows, slot])
+        )
+
+        # --- diffuse continuation (photontracing.cu:153-184) ---------------
+        cont = diff_hit & (n_int < max_depth)
+        u = uniforms[rows, jnp.clip(n_int, 0, max_depth)]
+        fr, wi_d, pdf_b = mat_ops.sample_f(
+            scene.materials, hit.mat, hit.ns, hit.dpdu, -d, u[:, 0], u[:, 1]
+        )
+        cont = cont & ~spectrum.is_black(fr) & (pdf_b > 0.0)
+        anew = (
+            alpha
+            * fr
+            * vec.absdot(wi_d, vec.normalize(hit.ns))[:, None]
+            / jnp.where(pdf_b == 0.0, 1.0, pdf_b)[:, None]
+        )
+        if config.russian_roulette:
+            # the commented-out pbrt roulette, enabled
+            # (photontracing.cu:173-178): P = min(1, y(anew)/y(alpha))
+            y_old = spectrum.luminance(alpha)
+            y_new = spectrum.luminance(anew)
+            p_cont = jnp.minimum(1.0, y_new / jnp.where(y_old == 0.0, 1.0, y_old))
+            survive = u[:, 2] <= p_cont
+            cont = cont & survive & (p_cont > 0.0)
+            anew = anew / jnp.where(p_cont == 0.0, 1.0, p_cont)[:, None]
+
+        # --- merge next-ray state -------------------------------------------
+        next_alive = spec_hit | cont
+        o2 = jnp.where(next_alive[:, None], hit.p, o)
+        d2 = jnp.where(spec_hit[:, None], wi_s, jnp.where(cont[:, None], wi_d, d))
+        alpha2 = jnp.where(
+            spec_hit[:, None], alpha * thr, jnp.where(cont[:, None], anew, alpha)
+        )
+        # nIntersections: specular bumps 0→1 only (photontracing.cu:126-129);
+        # diffuse continuation increments (photontracing.cu:182)
+        n_int2 = jnp.where(
+            spec_hit & (n_int == 0), 1, jnp.where(cont, n_int + 1, n_int)
+        )
+        # a specular path whose throughput went black can never deposit again
+        next_alive = next_alive & ~spectrum.is_black(alpha2)
+        return (
+            it + 1, next_alive, o2, d2, alpha2, n_int2,
+            (ph_p, ph_alpha, ph_wi, ph_valid),
+        )
+
+    init = (
+        jnp.int32(0), alive, o, d, alpha,
+        jnp.zeros((n_paths,), jnp.int32),
+        (ph_p, ph_alpha, ph_wi, ph_valid),
+    )
+    _, _, _, _, _, _, (ph_p, ph_alpha, ph_wi, ph_valid) = common.bounded_loop(
+        cond, body, init,
+        n_iters=config.max_photon_bounces,
+        differentiable=config.differentiable,
+    )
+    flat = lambda x: x.reshape((n_paths * max_depth,) + x.shape[2:])
+    return photon_grid.PhotonMap(
+        p=flat(ph_p), alpha=flat(ph_alpha), wi=flat(ph_wi), valid=flat(ph_valid)
+    )
+
+
+def gathering_pass(
+    scene: Scene,
+    rec: common.CameraRecords,
+    state: ProgressiveState,
+    grid: photon_grid.PhotonGrid,
+    config: RenderConfig,
+) -> ProgressiveState:
+    """Progressive radius/flux update (reference: gathering.cu:104-126)."""
+    wo = vec.normalize(-rec.direction)
+    kd_over_pi = mat_ops.f(scene.materials, rec.mat, wo, wo)
+    idl, m = photon_grid.gather_radius(
+        grid, rec.p, state.radius2, rec.ns, wo, kd_over_pi,
+        max_per_cell=config.grid_max_photons_per_cell,
+    )
+    m = jnp.where(rec.hit, m, 0)
+    a = jnp.float32(config.ppm_alpha)
+    mf = m.astype(jnp.float32)
+    new_count = state.photon_count + a * mf
+    denom = state.photon_count + mf
+    ratio = new_count / jnp.where(denom == 0.0, 1.0, denom)
+    upd = m > 0
+    return ProgressiveState(
+        radius2=jnp.where(upd, state.radius2 * ratio, state.radius2),
+        photon_count=jnp.where(upd, new_count, state.photon_count),
+        flux=jnp.where(upd[:, None], (state.flux + idl) * ratio[:, None], state.flux),
+    )
+
+
+def final_gathering(
+    rec: common.CameraRecords,
+    direct: Array,
+    state: ProgressiveState,
+    emitting_photons: Array,
+) -> Array:
+    """Combine DL + IDL (reference: gathering.cu:129-146), weighted by the
+    specular-chain throughput (the reference's unused accum_atten, done
+    right)."""
+    idl = jnp.where(
+        (state.photon_count != 0.0)[:, None],
+        state.flux
+        * sampling.INV_PI
+        / (state.radius2 * emitting_photons)[:, None],
+        0.0,
+    )
+    L = rec.atten * (direct + idl)
+    return jnp.where(rec.hit[:, None], L, 0.0)
+
+
+def render_photon(
+    scene: Scene,
+    camera: PerspectiveCamera,
+    config: RenderConfig,
+    key: Array,
+    jitter: bool = True,
+    return_aux: bool = False,
+):
+    """Full progressive photon-mapping render → [H, W, 3] image."""
+    light_samples = common.static_light_samples(scene, config)
+    img, aux = _render_photon(
+        scene, camera, key, config, light_samples, jitter
+    )
+    if return_aux:
+        return img, aux
+    return img
+
+
+@partial(jax.jit, static_argnames=("config", "light_samples", "jitter"))
+def _render_photon(
+    scene: Scene,
+    camera: PerspectiveCamera,
+    key: Array,
+    config: RenderConfig,
+    light_samples: tuple[int, ...],
+    jitter: bool,
+):
+    k_pix, k_light, k_photon = jax.random.split(key, 3)
+    xy, lens = pixel_samples(
+        k_pix, config.width, config.height, config.spp, jitter=jitter
+    )
+    rays = generate_rays(camera, xy, lens, config.spp)
+    n = rays.o.shape[0]
+
+    # pass 1: camera records + direct lighting (raytracing.cu)
+    rec = common.camera_pass(scene, rays.o, rays.d, config)
+    direct = common.direct_lighting(
+        scene, rec, k_light, config, light_samples, include_emitted=True
+    )
+
+    state = ProgressiveState(
+        radius2=jnp.full((n,), config.initial_radius2, jnp.float32),
+        photon_count=jnp.zeros((n,), jnp.float32),
+        flux=jnp.zeros((n, 3), jnp.float32),
+    )
+
+    cell_size = jnp.sqrt(jnp.float32(config.initial_radius2))
+    valid_photons = jnp.int32(0)
+    max_occ = jnp.int32(0)
+    # progressive photon waves (reference hard-codes passes=1,
+    # photonmappingrenderer.cpp:38; ours is configurable)
+    for p in range(config.photon_passes):
+        photons = trace_photons(scene, config, k_photon, p)
+        grid = photon_grid.build_photon_grid(photons, cell_size)
+        valid_photons += grid.n_valid
+        max_occ = jnp.maximum(max_occ, photon_grid.max_cell_occupancy(grid))
+        state = gathering_pass(scene, rec, state, grid, config)
+
+    emitting = jnp.float32(config.photon_paths * config.photon_passes)
+    L = final_gathering(rec, direct, state, emitting)
+    img = film.splat_box(xy, L, config.width, config.height)
+    aux = dict(
+        valid_photons=valid_photons,
+        max_cell_occupancy=max_occ,
+        mean_radius2=jnp.mean(jnp.where(rec.hit, state.radius2, 0.0)),
+        mean_photon_count=jnp.mean(state.photon_count),
+    )
+    return img, aux

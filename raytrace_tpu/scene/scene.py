@@ -1,0 +1,165 @@
+"""The scene as a pytree of SoA arrays.
+
+The reference mirrors the parsed pbrt scene into an OptiX two-level node graph
+(Group/GeometryGroup/GeometryInstance/Transform, cudarender.cpp:38-75) with
+per-shape PTX programs. The TPU-native design replaces the graph with flat
+arrays per shape family — triangles pre-transformed to world space like the
+reference mesh path (cudatrianglemesh.cpp:28-31), disks flattened to a world
+frame like the reference disk path (cudadisk.cpp:23-43), spheres kept in
+object space behind an affine o2w/w2o pair like the reference Transform node
+(cudasphere.cpp:16-40).
+
+Every family is padded to a static size so the intersection kernels see fixed
+shapes; padding prims carry mat = -1 and can never hit (degenerate geometry).
+"""
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+from jax import Array
+
+# Material types (reference: util/common.cu.h:61-63)
+MATTE, MIRROR, GLASS = 0, 1, 2
+# Light types (reference: util/common.cu.h:48; DIRECTION is unimplemented there
+# too — we keep the same two concrete kinds and add more behind the same table)
+LIGHT_POINT, LIGHT_AREA_DISK = 0, 1
+
+
+@flax.struct.dataclass
+class Triangles:
+    """World-space triangle soup with optional shading normals and UVs.
+
+    (reference: cudatrianglemesh.{cpp,cu} — vertices pre-transformed to world,
+    default UVs (0,0),(1,0),(0,1) when absent, shading normal interpolated.)
+    """
+    v0: Array  # [T, 3]
+    v1: Array  # [T, 3]
+    v2: Array  # [T, 3]
+    n0: Array  # [T, 3] shading normals (geometric normal where absent)
+    n1: Array  # [T, 3]
+    n2: Array  # [T, 3]
+    uv0: Array  # [T, 2]
+    uv1: Array  # [T, 2]
+    uv2: Array  # [T, 2]
+    has_normals: Array  # [T] bool
+    mat: Array  # [T] int32 material index, -1 = padding
+    light: Array  # [T] int32 area-light index, -1 = none
+
+    @property
+    def count(self) -> int:
+        return self.v0.shape[0]
+
+
+@flax.struct.dataclass
+class Spheres:
+    """Full spheres intersected in object space (reference: cudasphere.cu:27-72;
+    the o2w/w2o pair plays the reference's OptiX Transform node)."""
+    o2w: Array  # [S, 3, 4] affine object→world
+    w2o: Array  # [S, 3, 4] affine world→object
+    radius: Array  # [S]
+    mat: Array  # [S] int32
+    light: Array  # [S] int32
+
+    @property
+    def count(self) -> int:
+        return self.radius.shape[0]
+
+
+@flax.struct.dataclass
+class Disks:
+    """Disks flattened to a world frame exactly like the reference host setup
+    (cudadisk.cpp:23-43): o = world center, x/y = radius-scaled world axes,
+    z = unit normal, moffset = z·o, inv_r2 = 1/|x|², 1/|y|²."""
+    o: Array  # [D, 3]
+    x: Array  # [D, 3]
+    y: Array  # [D, 3]
+    z: Array  # [D, 3]
+    moffset: Array  # [D]
+    inv_r2: Array  # [D, 2]
+    inner_radius: Array  # [D] normalized (innerRadius/radius)
+    phi_max: Array  # [D]
+    mat: Array  # [D] int32
+    light: Array  # [D] int32
+
+    @property
+    def count(self) -> int:
+        return self.moffset.shape[0]
+
+
+@flax.struct.dataclass
+class Materials:
+    """Tagged material table (reference: util/material/cudamaterial.{h,cpp} —
+    Matte/Mirror/Glass with a single constant spectrum parameter)."""
+    mtype: Array  # [M] int32: MATTE | MIRROR | GLASS
+    kd: Array  # [M, 3] matte albedo or mirror reflectance Kr
+    eta: Array  # [M] glass IOR (reference hard-codes 1.5, cudamaterial.cu.h:118)
+
+
+@flax.struct.dataclass
+class Lights:
+    """Flattened light table (reference: CudaLightDevice, common.cu.h:47-59)."""
+    ltype: Array  # [L] int32: LIGHT_POINT | LIGHT_AREA_DISK
+    o: Array  # [L, 3] position / disk center
+    p1: Array  # [L, 3] disk axis 1 (radius-scaled)
+    p2: Array  # [L, 3] disk axis 2
+    normal: Array  # [L, 3]
+    area: Array  # [L]
+    intensity: Array  # [L, 3]
+    n_samples: Array  # [L] int32 illumination samples per light
+
+    @property
+    def count(self) -> int:
+        return self.ltype.shape[0]
+
+
+@flax.struct.dataclass
+class Scene:
+    tris: Triangles
+    spheres: Spheres
+    disks: Disks
+    materials: Materials
+    lights: Lights
+
+    def with_materials(self, materials: Materials) -> "Scene":
+        return self.replace(materials=materials)
+
+    def with_lights(self, lights: Lights) -> "Scene":
+        return self.replace(lights=lights)
+
+
+def empty_triangles() -> Triangles:
+    """One degenerate far-away padding triangle (never hits)."""
+    far = jnp.full((1, 3), 1e30, dtype=jnp.float32)
+    z2 = jnp.zeros((1, 2), dtype=jnp.float32)
+    up = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (1, 1))
+    return Triangles(
+        v0=far, v1=far, v2=far, n0=up, n1=up, n2=up,
+        uv0=z2, uv1=z2, uv2=z2,
+        has_normals=jnp.zeros((1,), bool),
+        mat=jnp.full((1,), -1, jnp.int32),
+        light=jnp.full((1,), -1, jnp.int32),
+    )
+
+
+def empty_spheres() -> Spheres:
+    eye = jnp.tile(jnp.eye(3, 4, dtype=jnp.float32)[None], (1, 1, 1))
+    return Spheres(
+        o2w=eye, w2o=eye,
+        radius=jnp.zeros((1,), jnp.float32),  # radius 0 → quadratic never hits
+        mat=jnp.full((1,), -1, jnp.int32),
+        light=jnp.full((1,), -1, jnp.int32),
+    )
+
+
+def empty_disks() -> Disks:
+    z3 = jnp.zeros((1, 3), dtype=jnp.float32)
+    up = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (1, 1))
+    return Disks(
+        o=jnp.full((1, 3), 1e30, jnp.float32), x=z3, y=z3, z=up,
+        moffset=jnp.full((1,), 1e30, jnp.float32),
+        inv_r2=jnp.zeros((1, 2), jnp.float32),  # inv_r2 0 → dist2 0... guarded by mat=-1
+        inner_radius=jnp.zeros((1,), jnp.float32),
+        phi_max=jnp.full((1,), -1.0, jnp.float32),  # phi > phiMax always → never hits
+        mat=jnp.full((1,), -1, jnp.int32),
+        light=jnp.full((1,), -1, jnp.int32),
+    )

@@ -1,0 +1,113 @@
+"""Batched light sampling — illumination sampling for direct lighting,
+emission sampling for photon shooting, and emitted-radiance lookup.
+
+Reimplements the reference's device light library
+(util/light/cudalight.cu.h) over the flattened light table. Differentiable in
+the light intensities (for emitter-power gradients).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from raytrace_tpu.core import vec
+from raytrace_tpu.core.sampling import (
+    INV_TWOPI,
+    concentric_sample_disk,
+    uniform_sample_sphere,
+    uniform_sphere_pdf,
+)
+from raytrace_tpu.scene.scene import LIGHT_AREA_DISK, LIGHT_POINT, Lights
+
+
+def _light_row(lights: Lights, i: int):
+    return jax.tree_util.tree_map(lambda a: a[i], lights)
+
+
+def sample_L_illum(
+    lights: Lights, i_light: int, p: Array, u2d: Array
+) -> tuple[Array, Array, Array]:
+    """Illumination sampling toward light i from points p [N,3] with 2D
+    samples u2d [N,2] (reference: cudalight.cu.h:18-64 Sample_L).
+
+    Returns (li [N,3], uwi [N,3] UNNORMALIZED toward the light, pdf [N]).
+    The unnormalized uwi doubles as the shadow-ray extent, matching the
+    reference's shadow rays over [eps, 1-eps] of uwi (raytracing.cu:72).
+    """
+    cld = _light_row(lights, i_light)
+
+    # point light (cu.h:18-29)
+    uwi_pt = cld.o - p
+    inv_len2 = 1.0 / jnp.maximum(vec.length_squared(uwi_pt), 1e-20)
+    li_pt = cld.intensity * inv_len2[:, None]
+    pdf_pt = jnp.ones(p.shape[0], p.dtype)
+
+    # disk area light (cu.h:31-52)
+    dx, dy = concentric_sample_disk(u2d[:, 0], u2d[:, 1])
+    uwi_ar = cld.o + dx[:, None] * cld.p1 + dy[:, None] * cld.p2 - p
+    wi = vec.normalize(uwi_ar)
+    dist2 = vec.length_squared(uwi_ar)
+    cos_t = -vec.dot(jnp.broadcast_to(cld.normal, wi.shape), wi)
+    pdf_ar = dist2 / jnp.where(
+        cos_t * cld.area == 0.0, 1e-20, cos_t * cld.area
+    )
+    li_ar = jnp.where(cos_t[:, None] > 0.0, cld.intensity, 0.0)
+
+    is_point = cld.ltype == LIGHT_POINT
+    li = jnp.where(is_point, li_pt, li_ar)
+    uwi = jnp.where(is_point, uwi_pt, uwi_ar)
+    pdf = jnp.where(is_point, pdf_pt, pdf_ar)
+    return li, uwi, pdf
+
+
+def sample_Le(
+    lights: Lights, i_light: int, lu1: Array, lu2: Array, u1: Array, u2: Array
+) -> tuple[Array, Array, Array, Array, Array]:
+    """Emission sampling for photon shooting
+    (reference: cudalight.cu.h:78-124 Sample_L ray variant).
+
+    Returns (Le [N,3], ray_o [N,3], ray_d [N,3], Ns [N,3], pdf [N]).
+    """
+    cld = _light_row(lights, i_light)
+    n = lu1.shape[0]
+
+    # point light: uniform sphere (cu.h:78-88)
+    d_pt = uniform_sample_sphere(lu1, lu2)
+    o_pt = jnp.broadcast_to(cld.o, (n, 3))
+    ns_pt = d_pt
+    pdf_pt = jnp.full((n,), uniform_sphere_pdf(), lu1.dtype)
+    le_pt = jnp.broadcast_to(cld.intensity, (n, 3))
+
+    # disk area light: disk origin + uniform-sphere dir flipped to the normal
+    # hemisphere, pdf 1/2π, Le = intensity·area (cu.h:90-110)
+    dx, dy = concentric_sample_disk(lu1, lu2)
+    o_ar = cld.o + dx[:, None] * cld.p1 + dy[:, None] * cld.p2
+    d_ar = uniform_sample_sphere(u1, u2)
+    ns_ar = jnp.broadcast_to(cld.normal, (n, 3))
+    flip = vec.dot(d_ar, ns_ar) < 0.0
+    d_ar = jnp.where(flip[:, None], -d_ar, d_ar)
+    pdf_ar = jnp.full((n,), INV_TWOPI, lu1.dtype)
+    le_ar = jnp.broadcast_to(cld.intensity * cld.area, (n, 3))
+
+    is_point = cld.ltype == LIGHT_POINT
+    le = jnp.where(is_point, le_pt, le_ar)
+    o = jnp.where(is_point, o_pt, o_ar)
+    d = jnp.where(is_point, d_pt, d_ar)
+    ns = jnp.where(is_point, ns_pt, ns_ar)
+    pdf = jnp.where(is_point, pdf_pt, pdf_ar)
+    return le, o, d, ns, pdf
+
+
+def light_L(lights: Lights, i_light: Array, wow: Array) -> Array:
+    """Emitted radiance when a camera ray hits emitter geometry front-face
+    (reference: cudalight.cu.h:128-138 lightL; per-instance lightIndex set at
+    cudarender.cpp:193). i_light is a per-ray int array, -1 = not an emitter."""
+    idx = jnp.maximum(i_light, 0)
+    normal = lights.normal[idx]
+    intensity = lights.intensity[idx]
+    front = vec.dot(normal, wow) > 0.0
+    hit_emitter = i_light >= 0
+    return jnp.where((front & hit_emitter)[..., None], intensity, 0.0)
