@@ -7,11 +7,14 @@ is ordinary fused elementwise work on the VPU.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 # pbrt RGBSpectrum::y() luminance weights (used by the reference for the
 # NaN/negative/infinite sanity guards and Russian roulette).
-_Y_WEIGHT = jnp.array([0.212671, 0.715160, 0.072169], dtype=jnp.float32)
+# Kept as a HOST numpy array: an eager jnp device constant closed over by jit
+# would be embedded in the graph and makes axon-TPU compiles take minutes.
+_Y_WEIGHT = np.array([0.212671, 0.715160, 0.072169], dtype=np.float32)
 
 
 def black(shape=(), dtype=jnp.float32) -> Array:

@@ -25,7 +25,10 @@ from jax import Array
 from raytrace_tpu.core import vec
 from raytrace_tpu.scene.scene import Scene
 
-BIG = jnp.float32(1e30)
+# Python float, NOT jnp.float32: an eager device-array constant captured by
+# jit bloats every graph with an embedded literal, which the axon TPU backend
+# compiles pathologically slowly (minutes for a single closed-over scalar).
+BIG = 1e30
 
 
 @flax.struct.dataclass

@@ -138,6 +138,10 @@ def _render_sharded_jit(
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
         out_specs=P(AXIS),
+        # loop carries are initialized from fresh jnp.full's (unvarying) and
+        # become varying in the body — skip the strict vma check; transposes
+        # still psum correctly under the conservative rules
+        check_vma=False,
     )
     L = shard_fn(scene, camera, xy, lens, k_render)
     return film.splat_box(xy, L, config.width, config.height)
