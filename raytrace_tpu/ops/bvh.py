@@ -1,0 +1,292 @@
+"""Flattened BVH over the triangle soup + TPU wavefront traversal.
+
+The reference delegates acceleration to OptiX's opaque "Sbvh"/"Bvh" builders
+(cudarender.cpp:44-50) and traverses inside rtTrace. The TPU-native design
+builds the BVH on the host (median-split on the numpy path; binned SAH via the
+C++ builder in csrc/ when available) into a pbrt-style depth-first flat array
+(left child = node+1, explicit right-child index), reorders the triangle
+arrays so every leaf covers a contiguous primitive range, and traverses it as
+a masked wavefront: every ray in the batch carries a short explicit stack (the
+same shape as the reference's gather-pass kd traversal stack, gathering.cu:9)
+and the whole batch steps through `lax.while_loop` together — node AABB tests
+and leaf triangle tests are dense vector ops over the ray batch.
+
+Traversal is intersection bookkeeping and runs under stop_gradient; the
+winning primitive is re-intersected outside the loop with plain jnp ops so
+reverse-mode AD sees exactly the same differentiable surface as the
+brute-force path (SURVEY.md §7: hit-finding in stop_gradient).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+BIG = 1e30
+
+
+@flax.struct.dataclass
+class FlatBVH:
+    """pbrt-style flattened BVH (LinearBVHNode layout): depth-first order,
+    left child at node+1, right child explicit."""
+    bmin: Array  # [Nn, 3]
+    bmax: Array  # [Nn, 3]
+    right: Array  # [Nn] int32 right-child node index (interior nodes)
+    first: Array  # [Nn] int32 first primitive (leaf nodes; prims contiguous)
+    count: Array  # [Nn] int32 primitive count (0 = interior)
+    axis: Array  # [Nn] int32 split axis (interior nodes)
+    # static metadata (not traced): sizes the traversal stack / leaf loop
+    max_depth: int = flax.struct.field(pytree_node=False, default=32)
+    leaf_size: int = flax.struct.field(pytree_node=False, default=4)
+
+
+def build_bvh(
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 4
+) -> tuple[dict, np.ndarray]:
+    """Median-split BVH build on the host (numpy reference builder).
+
+    Splits at the centroid median along the largest-extent axis, forcing a
+    half split when centroids are degenerate, so leaves never exceed
+    `leaf_size`. Returns (flat node arrays, primitive permutation). The C++
+    binned-SAH builder (csrc/bvh_builder.cc) emits the same layout.
+    """
+    T = v0.shape[0]
+    bbmin = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
+    bbmax = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
+    cent = (0.5 * (bbmin + bbmax)).astype(np.float64)
+
+    n_bmin, n_bmax = [], []
+    n_right, n_first, n_count, n_axis = [], [], [], []
+    perm: list[np.ndarray] = []
+    perm_n = 0
+    max_depth = 0
+
+    # iterative DFS with explicit frames so deep trees never hit the Python
+    # recursion limit; 'post' frames patch the right-child index once the
+    # left subtree has been emitted
+    stack: list[tuple] = [("build", np.arange(T, dtype=np.int64), 1)]
+    while stack:
+        frame = stack.pop()
+        if frame[0] == "patch":
+            n_right[frame[1]] = len(n_bmin)
+            continue
+        _, idx, depth = frame
+        max_depth = max(max_depth, depth)
+        node_id = len(n_bmin)
+        n_bmin.append(bbmin[idx].min(axis=0))
+        n_bmax.append(bbmax[idx].max(axis=0))
+        if len(idx) <= leaf_size:
+            n_right.append(0)
+            n_first.append(perm_n)
+            n_count.append(len(idx))
+            n_axis.append(0)
+            perm.append(idx)
+            perm_n += len(idx)
+            continue
+        c = cent[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        mid = len(idx) // 2
+        left, right = idx[order[:mid]], idx[order[mid:]]
+        n_right.append(-1)  # patched after the left subtree is emitted
+        n_first.append(0)
+        n_count.append(0)
+        n_axis.append(axis)
+        # DFS pre-order: left subtree next, then patch, then right subtree
+        stack.append(("build", right, depth + 1))
+        stack.append(("patch", node_id))
+        stack.append(("build", left, depth + 1))
+
+    arrays = dict(
+        bmin=np.asarray(n_bmin, np.float32),
+        bmax=np.asarray(n_bmax, np.float32),
+        right=np.asarray(n_right, np.int32),
+        first=np.asarray(n_first, np.int32),
+        count=np.asarray(n_count, np.int32),
+        axis=np.asarray(n_axis, np.int32),
+        max_depth=int(max_depth),
+        leaf_size=int(leaf_size),
+    )
+    return arrays, np.concatenate(perm) if perm else np.arange(0, dtype=np.int64)
+
+
+def build_bvh_native(
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = 4
+) -> tuple[dict, np.ndarray]:
+    """Build via the C++ binned-SAH builder (csrc/bvh_builder.cc) when the
+    shared library is available — the host-side native runtime piece playing
+    the reference's CPU acceleration-structure build (the reference builds
+    its photon kd-tree on the CPU too, photonmappingrenderer.cpp:141-180) —
+    falling back to the numpy median-split builder otherwise."""
+    try:
+        from raytrace_tpu.ops import bvh_native
+
+        return bvh_native.build_bvh_sah(v0, v1, v2, leaf_size=leaf_size)
+    except (ImportError, OSError):
+        return build_bvh(v0, v1, v2, leaf_size=leaf_size)
+
+
+def bvh_from_arrays(arrays: dict) -> FlatBVH:
+    return FlatBVH(
+        bmin=jnp.asarray(arrays["bmin"]),
+        bmax=jnp.asarray(arrays["bmax"]),
+        right=jnp.asarray(arrays["right"]),
+        first=jnp.asarray(arrays["first"]),
+        count=jnp.asarray(arrays["count"]),
+        axis=jnp.asarray(arrays["axis"]),
+        max_depth=int(arrays["max_depth"]),
+        leaf_size=int(arrays["leaf_size"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Traversal
+# ---------------------------------------------------------------------------
+
+def _tri_hit_leaf(o, d, v0, v1, v2, tmin, tlimit):
+    """Rays [N,3] vs their own leaf triangles [N,L,3] (Möller–Trumbore, same
+    math as ops/intersect._tri_hit_batch but ray-aligned)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    dN = d[:, None, :]
+    pvec = jnp.cross(dN, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    tvec = o[:, None, :] - v0
+    beta = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    gamma = jnp.sum(dN * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    ok = (
+        (det != 0.0)
+        & (beta >= 0.0)
+        & (gamma >= 0.0)
+        & (beta + gamma <= 1.0)
+        & (t > tmin[:, None])
+        & (t < tlimit[:, None])
+    )
+    return jnp.where(ok, t, BIG)
+
+
+def _traverse(bvh: FlatBVH, tris, o, d, tmin, tmax, any_hit: bool):
+    """Masked wavefront traversal → (best_t [N], best_idx [N]).
+
+    All inputs pass through stop_gradient; gradients are restored by
+    re-intersecting the winner (intersect_triangles_bvh).
+    """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    tmin = jax.lax.stop_gradient(tmin)
+    tmax = jax.lax.stop_gradient(tmax)
+    tris = jax.lax.stop_gradient(tris)
+
+    n = o.shape[0]
+    L = bvh.leaf_size
+    stack_depth = bvh.max_depth + 2
+    rows = jnp.arange(n)
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+    neg = (d < 0.0)  # [N, 3] per-axis direction sign for near/far ordering
+    leaf_lane = jnp.arange(L, dtype=jnp.int32)
+
+    stack = jnp.zeros((n, stack_depth), jnp.int32)  # root (0) pre-pushed
+    sp = jnp.ones((n,), jnp.int32)
+    best_t = jnp.minimum(jnp.full((n,), BIG, jnp.float32), tmax)
+    best_i = jnp.zeros((n,), jnp.int32)
+
+    def cond(state):
+        sp, *_ = state
+        return jnp.any(sp > 0)
+
+    def body(state):
+        sp, stack, best_t, best_i = state
+        active = sp > 0
+        node = jnp.where(active, stack[rows, jnp.maximum(sp - 1, 0)], 0)
+        sp = jnp.where(active, sp - 1, sp)
+
+        bmin = bvh.bmin[node]  # [N, 3]
+        bmax = bvh.bmax[node]
+        t0 = (bmin - o) * inv_d
+        t1 = (bmax - o) * inv_d
+        tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        box_hit = active & (tnear <= tfar) & (tfar > tmin) & (tnear < best_t)
+
+        cnt = bvh.count[node]
+        is_leaf = cnt > 0
+        do_leaf = box_hit & is_leaf
+        do_push = box_hit & ~is_leaf
+
+        # --- leaf: test up to L contiguous primitives -----------------------
+        first = bvh.first[node]
+        pidx = first[:, None] + leaf_lane[None, :]  # [N, L]
+        pidx = jnp.clip(pidx, 0, tris.v0.shape[0] - 1)
+        lane_ok = leaf_lane[None, :] < cnt[:, None]
+        t = _tri_hit_leaf(
+            o, d, tris.v0[pidx], tris.v1[pidx], tris.v2[pidx], tmin, best_t
+        )
+        t = jnp.where(lane_ok & do_leaf[:, None], t, BIG)
+        j = jnp.argmin(t, axis=1)
+        tj = t[rows, j]
+        better = tj < best_t
+        best_i = jnp.where(better, pidx[rows, j], best_i)
+        best_t = jnp.where(better, tj, best_t)
+
+        # --- interior: push far then near (near popped first) ---------------
+        near_is_left = ~neg[rows, bvh.axis[node]]
+        left = node + 1
+        right = bvh.right[node]
+        near = jnp.where(near_is_left, left, right)
+        far = jnp.where(near_is_left, right, left)
+        s0 = jnp.minimum(sp, stack_depth - 1)
+        s1 = jnp.minimum(sp + 1, stack_depth - 1)
+        stack = stack.at[rows, s0].set(jnp.where(do_push, far, stack[rows, s0]))
+        stack = stack.at[rows, s1].set(jnp.where(do_push, near, stack[rows, s1]))
+        sp = jnp.where(do_push, sp + 2, sp)
+
+        if any_hit:
+            # shadow rays stop at the first hit (reference shadow_any_hit
+            # terminates the ray, raytracing.cu:143-147)
+            sp = jnp.where(best_t < tmax, 0, sp)
+        return sp, stack, best_t, best_i
+
+    _, _, best_t, best_i = jax.lax.while_loop(
+        cond, body, (sp, stack, best_t, best_i)
+    )
+    return best_t, best_i
+
+
+def intersect_triangles_bvh(bvh: FlatBVH, tris, o, d, tmin, tmax):
+    """Closest-hit through the BVH → (t, idx, beta, gamma), same contract as
+    ops/intersect.intersect_triangles. The winner is re-intersected with
+    differentiable jnp ops so AD matches the brute-force path."""
+    best_t, idx = _traverse(bvh, tris, o, d, tmin, tmax, any_hit=False)
+    found = best_t < jnp.minimum(BIG, tmax)
+
+    v0, v1, v2 = tris.v0[idx], tris.v1[idx], tris.v2[idx]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    tvec = o - v0
+    beta = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    gamma = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+
+    t = jnp.where(found, t, BIG)
+    beta = jnp.where(found, beta, 0.0)
+    gamma = jnp.where(found, gamma, 0.0)
+    return t, idx, beta, gamma
+
+
+def occluded_triangles_bvh(bvh: FlatBVH, tris, o, d, tmin, tmax) -> Array:
+    """Any-hit through the BVH (shadow ray type)."""
+    best_t, _ = _traverse(bvh, tris, o, d, tmin, tmax, any_hit=True)
+    return best_t < jnp.minimum(BIG, tmax)

@@ -317,10 +317,32 @@ def disk_attributes(scene: Scene, idx, o, d, t):
 # Combined closest-hit / any-hit
 # ---------------------------------------------------------------------------
 
+def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
+    """BVH traversal when the scene carries one, brute-force scan otherwise."""
+    if scene.bvh is not None:
+        from raytrace_tpu.ops import bvh as bvh_ops
+
+        return bvh_ops.intersect_triangles_bvh(
+            scene.bvh, scene.tris, o, d, tmin, tmax
+        )
+    return intersect_triangles(scene, o, d, tmin, tmax, tri_chunk)
+
+
+def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
+    if scene.bvh is not None:
+        from raytrace_tpu.ops import bvh as bvh_ops
+
+        return bvh_ops.occluded_triangles_bvh(
+            scene.bvh, scene.tris, o, d, tmin, tmax
+        )
+    t_tri, _, _, _ = intersect_triangles(scene, o, d, tmin, tmax, tri_chunk)
+    return t_tri < BIG
+
+
 @partial(jax.jit, static_argnames=("tri_chunk",))
 def intersect(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256) -> Intersection:
     """Closest hit across all shape families."""
-    t_tri, i_tri, beta, gamma = intersect_triangles(scene, o, d, tmin, tmax, tri_chunk)
+    t_tri, i_tri, beta, gamma = _closest_triangles(scene, o, d, tmin, tmax, tri_chunk)
     t_sph, i_sph = intersect_spheres(scene, o, d, tmin, tmax)
     t_dsk, i_dsk = intersect_disks(scene, o, d, tmin, tmax)
 
@@ -359,7 +381,7 @@ def intersect(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256) -> Intersect
 def occluded(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256) -> Array:
     """Any-hit within (tmin, tmax) — the shadow ray type
     (reference: raytracing.cu:143-147 shadow_any_hit)."""
-    t_tri, _, _, _ = intersect_triangles(scene, o, d, tmin, tmax, tri_chunk)
+    hit_tri = _occluded_triangles(scene, o, d, tmin, tmax, tri_chunk)
     t_sph, _ = intersect_spheres(scene, o, d, tmin, tmax)
     t_dsk, _ = intersect_disks(scene, o, d, tmin, tmax)
-    return (t_tri < BIG) | (t_sph < BIG) | (t_dsk < BIG)
+    return hit_tri | (t_sph < BIG) | (t_dsk < BIG)

@@ -219,19 +219,52 @@ class SceneBuilder:
         return light_idx
 
     # -- build -----------------------------------------------------------------
-    def build(self) -> Scene:
+    def build(
+        self,
+        use_bvh: Optional[bool] = None,
+        bvh_leaf_size: int = 4,
+        bvh_threshold: int = 512,
+    ) -> Scene:
+        """Emit the static SoA Scene.
+
+        use_bvh: True/False forces the triangle BVH on/off; None (default)
+        enables it automatically once the scene holds ≥ bvh_threshold
+        triangles — the TPU stand-in for the reference's always-on OptiX
+        Sbvh acceleration (cudarender.cpp:44-50).
+        """
         materials = Materials(
             mtype=jnp.asarray(np.asarray(self._mat_type or [0], np.int32)),
             kd=jnp.asarray(np.stack(self._mat_kd or [np.full(3, 0.5)]).astype(_F32)),
             eta=jnp.asarray(np.asarray(self._mat_eta or [1.0], _F32)),
         )
         lights = self._build_lights()
+        tris = self._build_tris()
+        bvh_tree = None
+        n_tris = int(tris.v0.shape[0])
+        if use_bvh or (use_bvh is None and n_tris >= bvh_threshold):
+            from raytrace_tpu.ops import bvh as bvh_ops
+
+            arrays, perm = bvh_ops.build_bvh_native(
+                np.asarray(tris.v0), np.asarray(tris.v1), np.asarray(tris.v2),
+                leaf_size=bvh_leaf_size,
+            )
+            reorder = lambda a: jnp.asarray(np.asarray(a)[perm])
+            tris = Triangles(
+                v0=reorder(tris.v0), v1=reorder(tris.v1), v2=reorder(tris.v2),
+                n0=reorder(tris.n0), n1=reorder(tris.n1), n2=reorder(tris.n2),
+                uv0=reorder(tris.uv0), uv1=reorder(tris.uv1),
+                uv2=reorder(tris.uv2),
+                has_normals=reorder(tris.has_normals),
+                mat=reorder(tris.mat), light=reorder(tris.light),
+            )
+            bvh_tree = bvh_ops.bvh_from_arrays(arrays)
         return Scene(
-            tris=self._build_tris(),
+            tris=tris,
             spheres=self._build_spheres(),
             disks=self._build_disks(),
             materials=materials,
             lights=lights,
+            bvh=bvh_tree,
         )
 
     def _build_tris(self) -> Triangles:

@@ -119,6 +119,12 @@ class Scene:
     disks: Disks
     materials: Materials
     lights: Lights
+    # Optional flattened BVH over `tris` (ops/bvh.py). When present, the
+    # triangle arrays are stored in BVH leaf order and intersection goes
+    # through wavefront traversal instead of the brute-force scan — the
+    # TPU-native stand-in for the reference's OptiX "Sbvh" acceleration
+    # (cudarender.cpp:44-50). None = brute force (small scenes).
+    bvh: object = None
 
     def with_materials(self, materials: Materials) -> "Scene":
         return self.replace(materials=materials)
