@@ -110,6 +110,45 @@ def test_auto_bvh_threshold():
     assert scene.bvh is not None  # big scene gets the tree automatically
 
 
+def test_native_sah_builder_matches_numpy_builder():
+    """The C++ binned-SAH builder and the numpy median-split builder may
+    produce different trees, but traversal through either must return the
+    same closest hits."""
+    bvh_native = pytest.importorskip("raytrace_tpu.ops.bvh_native")
+    rng = np.random.default_rng(21)
+    c = rng.uniform(-4, 4, (1500, 3))
+    off = rng.normal(size=(1500, 3, 3)) * 0.3
+    v = (c[:, None, :] + off).astype(np.float32)
+
+    import flax.struct
+
+    @flax.struct.dataclass
+    class MiniTris:
+        v0: jnp.ndarray
+        v1: jnp.ndarray
+        v2: jnp.ndarray
+
+    o, d = random_rays(256, seed=17)
+    tmin = jnp.full((256,), 1e-3)
+    tmax = jnp.full((256,), 1e30)
+
+    results = []
+    for build in (bvh_ops.build_bvh, bvh_native.build_bvh_sah):
+        arrays, perm = build(v[:, 0], v[:, 1], v[:, 2], leaf_size=4)
+        assert sorted(perm.tolist()) == list(range(1500))
+        assert arrays["count"].max() <= 4
+        tris = MiniTris(
+            v0=jnp.asarray(v[perm, 0]),
+            v1=jnp.asarray(v[perm, 1]),
+            v2=jnp.asarray(v[perm, 2]),
+        )
+        t, _, _, _ = bvh_ops.intersect_triangles_bvh(
+            bvh_ops.bvh_from_arrays(arrays), tris, o, d, tmin, tmax
+        )
+        results.append(np.asarray(t))
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
+
+
 def test_bvh_render_matches_brute_force():
     """End-to-end: the simple renderer produces the same image through the
     BVH as through the dense scan."""
