@@ -261,13 +261,11 @@ def _traverse(bvh: FlatBVH, tris, o, d, tmin, tmax, any_hit: bool):
     return best_t, best_i
 
 
-def intersect_triangles_bvh(bvh: FlatBVH, tris, o, d, tmin, tmax):
-    """Closest-hit through the BVH → (t, idx, beta, gamma), same contract as
-    ops/intersect.intersect_triangles. The winner is re-intersected with
-    differentiable jnp ops so AD matches the brute-force path."""
-    best_t, idx = _traverse(bvh, tris, o, d, tmin, tmax, any_hit=False)
-    found = best_t < jnp.minimum(BIG, tmax)
-
+def reintersect_winner(tris, idx, o, d, found):
+    """Re-intersect the winning primitive with differentiable jnp ops →
+    (t, beta, gamma). Traversal/kernels find `idx` under stop_gradient; this
+    restores the differentiable surface (SURVEY.md §7: hit-finding in
+    stop_gradient, shading smooth given hit points)."""
     v0, v1, v2 = tris.v0[idx], tris.v1[idx], tris.v2[idx]
     e1 = v1 - v0
     e2 = v2 - v0
@@ -283,6 +281,16 @@ def intersect_triangles_bvh(bvh: FlatBVH, tris, o, d, tmin, tmax):
     t = jnp.where(found, t, BIG)
     beta = jnp.where(found, beta, 0.0)
     gamma = jnp.where(found, gamma, 0.0)
+    return t, beta, gamma
+
+
+def intersect_triangles_bvh(bvh: FlatBVH, tris, o, d, tmin, tmax):
+    """Closest-hit through the BVH → (t, idx, beta, gamma), same contract as
+    ops/intersect.intersect_triangles. The winner is re-intersected with
+    differentiable jnp ops so AD matches the brute-force path."""
+    best_t, idx = _traverse(bvh, tris, o, d, tmin, tmax, any_hit=False)
+    found = best_t < jnp.minimum(BIG, tmax)
+    t, beta, gamma = reintersect_winner(tris, idx, o, d, found)
     return t, idx, beta, gamma
 
 

@@ -317,13 +317,33 @@ def disk_attributes(scene: Scene, idx, o, d, t):
 # Combined closest-hit / any-hit
 # ---------------------------------------------------------------------------
 
+def _pallas_enabled() -> bool:
+    """Dense-path kernel choice: the Pallas megakernel on real TPU, the jnp
+    scan elsewhere (Pallas-TPU kernels don't run on the CPU backend except
+    in interpret mode, which is test-only). RAYTRACE_TPU_PALLAS=0/1
+    overrides."""
+    import os
+
+    flag = os.environ.get("RAYTRACE_TPU_PALLAS", "auto")
+    if flag in ("0", "1"):
+        return flag == "1"
+    return jax.default_backend() == "tpu"
+
+
 def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
-    """BVH traversal when the scene carries one, brute-force scan otherwise."""
+    """BVH traversal when the scene carries one, dense scan otherwise
+    (Pallas megakernel on TPU, jnp scan fallback)."""
     if scene.bvh is not None:
         from raytrace_tpu.ops import bvh as bvh_ops
 
         return bvh_ops.intersect_triangles_bvh(
             scene.bvh, scene.tris, o, d, tmin, tmax
+        )
+    if _pallas_enabled():
+        from raytrace_tpu.ops import pallas_intersect
+
+        return pallas_intersect.intersect_triangles_pallas(
+            scene.tris, o, d, tmin, tmax
         )
     return intersect_triangles(scene, o, d, tmin, tmax, tri_chunk)
 
@@ -335,6 +355,13 @@ def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
         return bvh_ops.occluded_triangles_bvh(
             scene.bvh, scene.tris, o, d, tmin, tmax
         )
+    if _pallas_enabled():
+        from raytrace_tpu.ops import pallas_intersect
+
+        t_tri, _, _, _ = pallas_intersect.intersect_triangles_pallas(
+            scene.tris, o, d, tmin, tmax
+        )
+        return t_tri < BIG
     t_tri, _, _, _ = intersect_triangles(scene, o, d, tmin, tmax, tri_chunk)
     return t_tri < BIG
 

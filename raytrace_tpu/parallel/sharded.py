@@ -74,7 +74,6 @@ def _radiance_shard(
 
     paths_local = max(1, config.photon_paths // n_chips)
     cfg_local = dataclasses.replace(config, photon_paths=paths_local)
-    cell_size = jnp.sqrt(jnp.float32(config.initial_radius2))
 
     for p in range(config.photon_passes):
         # disjoint global photon-id slice per chip
@@ -85,8 +84,9 @@ def _radiance_shard(
         photons_all = jax.tree_util.tree_map(
             lambda x: jax.lax.all_gather(x, AXIS, tiled=True), photons_local
         )
-        grid = photon_grid.build_photon_grid(photons_all, cell_size)
-        state = photon_renderer.gathering_pass(scene, rec, state, grid, config)
+        state, _ = photon_renderer.gathering_pass(
+            scene, rec, state, photons_all, config
+        )
 
     emitting = jnp.float32(paths_local * n_chips * config.photon_passes)
     return photon_renderer.final_gathering(rec, direct, state, emitting)

@@ -202,16 +202,38 @@ def gathering_pass(
     scene: Scene,
     rec: common.CameraRecords,
     state: ProgressiveState,
-    grid: photon_grid.PhotonGrid,
+    photons: photon_grid.PhotonMap,
     config: RenderConfig,
-) -> ProgressiveState:
-    """Progressive radius/flux update (reference: gathering.cu:104-126)."""
+) -> tuple[ProgressiveState, dict]:
+    """Progressive radius/flux update (reference: gathering.cu:104-126).
+
+    The radius search dispatches between the Pallas dense wavefront kernel
+    (TPU forward path — exact, the measured hot spot of the pipeline) and
+    the jnp hash-grid path (CPU, and the differentiable path: the grid
+    gather is linear in alpha/kd so AD flows through it)."""
     wo = vec.normalize(-rec.direction)
     kd_over_pi = mat_ops.f(scene.materials, rec.mat, wo, wo)
-    idl, m = photon_grid.gather_radius(
-        grid, rec.p, state.radius2, rec.ns, wo, kd_over_pi,
-        max_per_cell=config.grid_max_photons_per_cell,
-    )
+    from raytrace_tpu.ops.intersect import _pallas_enabled
+
+    if not config.differentiable and _pallas_enabled():
+        from raytrace_tpu.ops import pallas_gather
+
+        pp, pa, pw, pv, n_valid = pallas_gather.compact_photons(photons)
+        idl, m = pallas_gather.gather_radius_pallas(
+            pp, pa, pw, pv, n_valid, rec.p, state.radius2, rec.ns, kd_over_pi
+        )
+        info = dict(valid_photons=n_valid,
+                    max_cell_occupancy=jnp.int32(0))  # dense path is exact
+    else:
+        cell_size = jnp.sqrt(jnp.float32(config.initial_radius2))
+        grid = photon_grid.build_photon_grid(photons, cell_size)
+        idl, m = photon_grid.gather_radius(
+            grid, rec.p, state.radius2, rec.ns, wo, kd_over_pi,
+            max_per_cell=config.grid_max_photons_per_cell,
+        )
+        info = dict(valid_photons=grid.n_valid,
+                    max_cell_occupancy=photon_grid.max_cell_occupancy(grid))
+
     m = jnp.where(rec.hit, m, 0)
     a = jnp.float32(config.ppm_alpha)
     mf = m.astype(jnp.float32)
@@ -219,11 +241,12 @@ def gathering_pass(
     denom = state.photon_count + mf
     ratio = new_count / jnp.where(denom == 0.0, 1.0, denom)
     upd = m > 0
-    return ProgressiveState(
+    state = ProgressiveState(
         radius2=jnp.where(upd, state.radius2 * ratio, state.radius2),
         photon_count=jnp.where(upd, new_count, state.photon_count),
         flux=jnp.where(upd[:, None], (state.flux + idl) * ratio[:, None], state.flux),
     )
+    return state, info
 
 
 def final_gathering(
@@ -292,17 +315,15 @@ def _render_photon(
         flux=jnp.zeros((n, 3), jnp.float32),
     )
 
-    cell_size = jnp.sqrt(jnp.float32(config.initial_radius2))
     valid_photons = jnp.int32(0)
     max_occ = jnp.int32(0)
     # progressive photon waves (reference hard-codes passes=1,
     # photonmappingrenderer.cpp:38; ours is configurable)
     for p in range(config.photon_passes):
         photons = trace_photons(scene, config, k_photon, p)
-        grid = photon_grid.build_photon_grid(photons, cell_size)
-        valid_photons += grid.n_valid
-        max_occ = jnp.maximum(max_occ, photon_grid.max_cell_occupancy(grid))
-        state = gathering_pass(scene, rec, state, grid, config)
+        state, info = gathering_pass(scene, rec, state, photons, config)
+        valid_photons += info["valid_photons"]
+        max_occ = jnp.maximum(max_occ, info["max_cell_occupancy"])
 
     emitting = jnp.float32(config.photon_paths * config.photon_passes)
     L = final_gathering(rec, direct, state, emitting)

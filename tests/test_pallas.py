@@ -1,0 +1,133 @@
+"""Pallas megakernel vs the jnp dense scan (interpret mode on CPU).
+
+The kernel must be a drop-in for ops/intersect.intersect_triangles: same
+closest hits, same differentiable surface via the winner re-intersection."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytrace_tpu.ops import intersect as ii
+from raytrace_tpu.ops import pallas_intersect as pi
+from raytrace_tpu.scene.builder import SceneBuilder
+
+
+def soup_scene(n_tris=700, seed=4):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-4, 4, (n_tris, 3))
+    offs = rng.normal(size=(n_tris, 3, 3)) * 0.35
+    verts = (centers[:, None, :] + offs).reshape(-1, 3)
+    idx = np.arange(3 * n_tris).reshape(-1, 3)
+    b = SceneBuilder()
+    b.triangle_mesh(verts, idx, material=b.matte((0.5, 0.5, 0.5)))
+    b.point_light((0, 0, 10), (100.0, 100.0, 100.0))
+    return b.build(use_bvh=False)
+
+
+def random_rays(n, seed):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_pallas_matches_dense_scan():
+    scene = soup_scene()
+    # n deliberately not a multiple of TILE_RAYS; n_tris not of TILE_TRIS
+    n = 300
+    o, d = random_rays(n, seed=9)
+    tmin = jnp.full((n,), 1e-3)
+    tmax = jnp.full((n,), 1e30)
+    t_p, i_p, b_p, g_p = pi.intersect_triangles_pallas(
+        scene.tris, o, d, tmin, tmax, interpret=True
+    )
+    t_f, i_f, b_f, g_f = ii.intersect_triangles(scene, o, d, tmin, tmax)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_f), rtol=1e-5)
+    hit = np.asarray(t_f) < 1e29
+    np.testing.assert_array_equal(np.asarray(i_p)[hit], np.asarray(i_f)[hit])
+    np.testing.assert_allclose(np.asarray(b_p)[hit], np.asarray(b_f)[hit],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p)[hit], np.asarray(g_f)[hit],
+                               atol=1e-5)
+
+
+def test_pallas_respects_tmax_window():
+    scene = soup_scene(seed=8)
+    n = 128
+    o, d = random_rays(n, seed=10)
+    tmin = jnp.full((n,), 1e-3)
+    tmax = jnp.full((n,), 2.5)
+    t_p, _, _, _ = pi.intersect_triangles_pallas(
+        scene.tris, o, d, tmin, tmax, interpret=True
+    )
+    t_f, _, _, _ = ii.intersect_triangles(scene, o, d, tmin, tmax)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_f), rtol=1e-5)
+    tp = np.asarray(t_p)
+    assert ((tp >= 1e29) | ((tp > 1e-3) & (tp < 2.5))).all()
+
+
+def test_pallas_gather_matches_reference_sum():
+    """Dense Pallas radius search vs a direct numpy O(N·P) reference and the
+    jnp hash-grid gather."""
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+    from raytrace_tpu.ops import photon_grid as pg
+
+    rng = np.random.default_rng(19)
+    P, N = 1000, 200
+    p = rng.uniform(-2, 2, (P, 3)).astype(np.float32)
+    alpha = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    wi = rng.normal(size=(P, 3)).astype(np.float32)
+    wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+    valid = rng.uniform(size=P) < 0.7
+
+    qp = rng.uniform(-2, 2, (N, 3)).astype(np.float32)
+    r2 = rng.uniform(0.05, 0.25, N).astype(np.float32)
+    ns = rng.normal(size=(N, 3)).astype(np.float32)
+    ns /= np.linalg.norm(ns, axis=-1, keepdims=True)
+    kd = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+
+    # numpy reference
+    d2 = ((qp[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+    ok = (d2 < r2[:, None]) & valid[None, :]
+    w = np.abs(np.einsum("nc,pc->np", ns, wi))
+    L_ref = kd * np.einsum("np,pc->nc", np.where(ok, w, 0.0), alpha)
+    m_ref = ok.sum(1)
+
+    photons = pg.PhotonMap(p=jnp.asarray(p), alpha=jnp.asarray(alpha),
+                           wi=jnp.asarray(wi), valid=jnp.asarray(valid))
+    pp, pa, pw, pv, nv = pg_pallas.compact_photons(photons)
+    L, m = pg_pallas.gather_radius_pallas(
+        pp, pa, pw, pv, nv, jnp.asarray(qp), jnp.asarray(r2),
+        jnp.asarray(ns), jnp.asarray(kd), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(L), L_ref, rtol=2e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m), m_ref)
+
+    # jnp hash-grid path agrees too (budget large enough to be exact)
+    grid = pg.build_photon_grid(photons, cell_size=0.5)
+    L_g, m_g = pg.gather_radius(
+        grid, jnp.asarray(qp), jnp.asarray(r2), jnp.asarray(ns),
+        jnp.asarray(-ns), jnp.asarray(kd), max_per_cell=64,
+    )
+    np.testing.assert_allclose(np.asarray(L_g), L_ref, rtol=2e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_g), m_ref)
+
+
+def test_pallas_winner_reintersection_is_differentiable():
+    """Gradients must flow through the returned t via the winner
+    re-intersection (hit-finding itself is stop_gradient'd)."""
+    scene = soup_scene(seed=12)
+    n = 128
+    o, d = random_rays(n, seed=14)
+    tmin = jnp.full((n,), 1e-3)
+    tmax = jnp.full((n,), 1e30)
+
+    def f(o_):
+        t, _, _, _ = pi.intersect_triangles_pallas(
+            scene.tris, o_, d, tmin, tmax, interpret=True
+        )
+        return jnp.sum(jnp.where(t < 1e29, t, 0.0))
+
+    g = jax.grad(f)(o)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0.0
