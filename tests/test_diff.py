@@ -1,0 +1,174 @@
+"""Differentiable-rendering tests (BASELINE config[3]).
+
+Finite-difference checks on dL/dtheta for material albedo and emitter power,
+plus a small inverse-rendering recovery run — the test strategy BASELINE.md
+mandates ("pixel gradients dL/dtheta finite-difference check, recover
+albedo / emitter power"). The reference has no differentiable path at all
+(SURVEY.md §0), so the oracle here is central differences on the primal.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace_tpu.core.config import RenderConfig
+from raytrace_tpu.diff.render import (
+    SceneParams,
+    apply_params,
+    extract_params,
+    loss_and_grad,
+    render_image_from_params,
+)
+from raytrace_tpu.renderers import common
+from raytrace_tpu.scene import presets
+
+SIZE = 16
+KEY = jax.random.PRNGKey(7)
+
+
+def _setup(ball=None, photon_paths=1 << 10):
+    scene, camera = presets.cornell_box(size=SIZE, ball=ball)
+    config = RenderConfig(
+        width=SIZE, height=SIZE, spp=1, scene_epsilon=1e-3,
+        photon_paths=photon_paths, photon_passes=1,
+        max_photon_bounces=4, differentiable=True,
+    )
+    light_samples = common.static_light_samples(scene, config)
+    return scene, camera, config, light_samples
+
+
+def _loss(params, target, scene, camera, config, light_samples):
+    img = render_image_from_params(
+        params, scene, camera, config, KEY, light_samples, jitter=False
+    )
+    return jnp.mean((img - target) ** 2)
+
+
+def _fd_check(params, idx_path, scene, camera, config, light_samples,
+              h=2e-2, rtol=0.12):
+    """Central-difference check on one scalar parameter coordinate.
+
+    idx_path: (field, flat_index) into the SceneParams pytree.
+    """
+    target = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
+    loss_fn = jax.jit(
+        lambda p: _loss(p, target, scene, camera, config, light_samples)
+    )
+    grad = jax.jit(jax.grad(
+        lambda p: _loss(p, target, scene, camera, config, light_samples)
+    ))(params)
+
+    field, flat_idx = idx_path
+    base = getattr(params, field)
+    flat = base.reshape(-1)
+
+    def perturbed(delta):
+        return params.replace(
+            **{field: flat.at[flat_idx].add(delta).reshape(base.shape)}
+        )
+
+    l_plus = loss_fn(perturbed(+h))
+    l_minus = loss_fn(perturbed(-h))
+    fd = (l_plus - l_minus) / (2.0 * h)
+    ad = getattr(grad, field).reshape(-1)[flat_idx]
+    fd, ad = float(fd), float(ad)
+    assert abs(ad) > 1e-9, f"{field}[{flat_idx}]: AD gradient is zero"
+    assert abs(fd - ad) <= rtol * max(abs(fd), abs(ad)), (
+        f"{field}[{flat_idx}]: fd={fd:.6g} ad={ad:.6g}"
+    )
+
+
+class TestFiniteDifference:
+    def test_albedo_gradient_matches_fd(self):
+        scene, camera, config, light_samples = _setup()
+        params = extract_params(scene)
+        # material 0 = white walls, red channel: strong direct+indirect signal
+        _fd_check(params, ("kd", 0), scene, camera, config, light_samples)
+
+    def test_albedo_gradient_matches_fd_green_wall(self):
+        scene, camera, config, light_samples = _setup()
+        params = extract_params(scene)
+        # green wall's green channel (material 2 → flat index 2*3+1)
+        _fd_check(params, ("kd", 2 * 3 + 1), scene, camera, config,
+                  light_samples)
+
+    def test_emitter_power_gradient_matches_fd(self):
+        scene, camera, config, light_samples = _setup()
+        params = extract_params(scene)
+        # emitter intensity enters linearly in direct light and photon alpha;
+        # larger h since intensity ~30
+        _fd_check(params, ("intensity", 0), scene, camera, config,
+                  light_samples, h=0.5, rtol=0.12)
+
+    def test_gradients_flow_through_photon_transport(self):
+        """With direct lighting excluded from the loss region it still sees
+        the photon (indirect) term: albedo grads must be nonzero even for a
+        wall the camera never sees directly bounced off once — i.e. grads
+        flow through alpha products in the photon walk and the gather."""
+        scene, camera, config, light_samples = _setup()
+        params = extract_params(scene)
+        target = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
+        grads = jax.grad(
+            lambda p: _loss(p, target, scene, camera, config, light_samples)
+        )(params)
+        assert np.isfinite(np.asarray(grads.kd)).all()
+        assert np.isfinite(np.asarray(grads.intensity)).all()
+        # every matte material that's visible should get gradient
+        assert float(jnp.abs(grads.kd).sum()) > 0.0
+        assert float(jnp.abs(grads.intensity).sum()) > 0.0
+
+
+class TestInverseRendering:
+    def test_recover_albedo(self):
+        """Start from a perturbed wall albedo; gradient descent on image MSE
+        must move it back toward the truth (BASELINE config[3])."""
+        scene, camera, config, light_samples = _setup()
+        true_params = extract_params(scene)
+        target = render_image_from_params(
+            true_params, scene, camera, config, KEY, light_samples,
+            jitter=False,
+        )
+
+        kd0 = true_params.kd.at[0].set(jnp.array([0.25, 0.9, 0.4]))
+        params = true_params.replace(kd=kd0)
+        err0 = float(jnp.abs(params.kd[0] - true_params.kd[0]).sum())
+
+        lr = 4.0
+        for _ in range(12):
+            loss, grads = loss_and_grad(
+                params, target, scene, camera, config, KEY, light_samples,
+                jitter=False,
+            )
+            params = jax.tree_util.tree_map(
+                lambda p, g: p - lr * g, params, grads
+            )
+        err1 = float(jnp.abs(params.kd[0] - true_params.kd[0]).sum())
+        assert err1 < 0.5 * err0, (err0, err1)
+        assert float(loss) >= 0.0
+
+    def test_recover_emitter_power(self):
+        scene, camera, config, light_samples = _setup()
+        true_params = extract_params(scene)
+        target = render_image_from_params(
+            true_params, scene, camera, config, KEY, light_samples,
+            jitter=False,
+        )
+        params = true_params.replace(
+            intensity=true_params.intensity * 1.8
+        )
+        err0 = float(
+            jnp.abs(params.intensity - true_params.intensity).sum()
+        )
+        lr = 2e4  # intensity ~30, grads tiny on an MSE of ~O(1) images
+        for _ in range(10):
+            loss, grads = loss_and_grad(
+                params, target, scene, camera, config, KEY, light_samples,
+                jitter=False,
+            )
+            params = params.replace(
+                intensity=params.intensity - lr * grads.intensity
+            )
+        err1 = float(
+            jnp.abs(params.intensity - true_params.intensity).sum()
+        )
+        assert err1 < err0, (err0, err1)
