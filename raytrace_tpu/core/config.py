@@ -40,7 +40,13 @@ class RenderConfig:
     max_photon_bounces: int = 10      # total walk iterations incl. specular
     russian_roulette: bool = True     # reference has it commented out
                                       # (photontracing.cu:173-178); BASELINE
-                                      # asks for per-bounce RR, so default on
+                                      # asks for per-bounce RR, so default on.
+                                      # Ignored when differentiable=True: the
+                                      # survival test is discontinuous in the
+                                      # material params and the 1/P reweight
+                                      # has no pathwise gradient, and the
+                                      # fixed-trip diff walk gains nothing
+                                      # from roulette (renderers/photon.py)
     halton_stride_by_depth: bool = False  # True = reference quirk: Halton
                                       # indices stride by max_photon_depth
                                       # (pm_index, photontracing.cu:82),
@@ -54,6 +60,11 @@ class RenderConfig:
 
     # -- photon hash grid --------------------------------------------------
     grid_max_photons_per_cell: int = 32  # static per-cell budget (masked)
+    exact_gather: bool = False        # True: exact streamed all-pairs gather
+                                      # (photon_grid.gather_radius_dense) —
+                                      # no per-cell truncation; the oracle
+                                      # setting for parity tests and small
+                                      # scenes. False: fast spatial paths
 
     # -- intersection -------------------------------------------------------
     use_bvh: bool = False             # brute-force is faster for tiny scenes

@@ -149,6 +149,197 @@ def gather_radius_pallas(
     return acc[:, :n].T, m[0, :n].astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Grid-aware kernel: Morton-sorted photons + per-tile chunk ranges.
+#
+# The dense kernel above is O(queries × photons) — exact but unscalable (the
+# BASELINE 16M-photon config would be ~4e15 pair tests). This kernel is the
+# north star's "Pallas radius-search over a spatially-hashed photon grid":
+#
+#   1. photons are sorted by the Morton code of their grid cell
+#      (ops/photon_grid.morton3; cell_size ≥ search radius);
+#   2. queries are ALSO Morton-sorted, so each 128-query tile is spatially
+#      coherent;
+#   3. per tile, the cell box [min(qcell)-1, max(qcell)+1] maps to ONE
+#      contiguous span of the sorted photon array (Morton monotonicity —
+#      a conservative superset), found with two searchsorted calls;
+#   4. the kernel walks only that tile's chunk range, double-buffering
+#      photon chunks HBM→VMEM with async DMA, and applies the exact
+#      dist² < r² test — same semantics as the reference's kd-tree walk
+#      (gathering.cu:25-96), cost ∝ photons actually near each tile.
+# ---------------------------------------------------------------------------
+
+GRID_CHUNK = 512
+_ROWS = 16  # px py pz ax ay az wx wy wz valid + 6 pad rows (f32 tile = 8×128)
+
+
+def _grid_kernel(lo_ref, nc_ref, qp_ref, qr2_ref, qns_ref, qkd_ref,
+                 pdata_ref, out_ref, scratch, sems, *, chunk: int):
+    i = pl.program_id(0)
+    lo = lo_ref[i]
+    nc = nc_ref[i]
+
+    qx, qy, qz = qp_ref[0, :], qp_ref[1, :], qp_ref[2, :]
+    r2 = qr2_ref[0, :]
+    nsx, nsy, nsz = qns_ref[0, :], qns_ref[1, :], qns_ref[2, :]
+
+    def get_dma(slot, k):
+        return pltpu.make_async_copy(
+            pdata_ref.at[:, pl.ds((lo + k) * chunk, chunk)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nc > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    r = lambda a: a[:, None]
+    c = lambda a: a[None, :]
+
+    def body(k, carry):
+        acc0, acc1, acc2, m = carry
+        slot = k % 2
+
+        @pl.when(k + 1 < nc)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        blk = scratch[slot]  # [ROWS, chunk]
+        px, py, pz = blk[0, :], blk[1, :], blk[2, :]
+        ax, ay, az = blk[3, :], blk[4, :], blk[5, :]
+        wx, wy, wz = blk[6, :], blk[7, :], blk[8, :]
+        pv = blk[9, :]
+
+        dx = r(qx) - c(px)
+        dy = r(qy) - c(py)
+        dz = r(qz) - c(pz)
+        dist2 = dx * dx + dy * dy + dz * dz
+        ok = (dist2 < r(r2)) & (c(pv) > 0.0)
+        w = jnp.abs(r(nsx) * c(wx) + r(nsy) * c(wy) + r(nsz) * c(wz))
+        wm = jnp.where(ok, w, 0.0)  # [TQ, chunk]
+
+        acc0 = acc0 + jnp.sum(wm * c(ax), axis=1)
+        acc1 = acc1 + jnp.sum(wm * c(ay), axis=1)
+        acc2 = acc2 + jnp.sum(wm * c(az), axis=1)
+        m = m + jnp.sum(ok.astype(jnp.float32), axis=1)
+        return acc0, acc1, acc2, m
+
+    z = jnp.zeros((qp_ref.shape[1],), jnp.float32)
+    acc0, acc1, acc2, m = jax.lax.fori_loop(0, nc, body, (z, z, z, z))
+    out_ref[0, :] = qkd_ref[0, :] * acc0
+    out_ref[1, :] = qkd_ref[1, :] * acc1
+    out_ref[2, :] = qkd_ref[2, :] * acc2
+    out_ref[3, :] = m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk"))
+def gather_radius_pallas_grid(
+    photons_p: Array,      # [P, 3]
+    photons_alpha: Array,  # [P, 3]
+    photons_wi: Array,     # [P, 3]
+    photons_valid: Array,  # [P] bool
+    cell_size,             # scalar: grid cell edge, must be ≥ every radius
+    q_p: Array,            # [N, 3]
+    radius2: Array,        # [N]
+    q_ns: Array,           # [N, 3]
+    q_kd_over_pi: Array,   # [N, 3]
+    interpret: bool = False,
+    chunk: int = GRID_CHUNK,
+) -> tuple[Array, Array]:
+    """Exact radius search + photon shading over a Morton-sorted photon grid
+    → (L [N, 3], M [N] int32). Same contract as gather_radius_pallas but
+    sublinear in total photon count: each query tile only scans the sorted
+    span covering its neighborhood cell box."""
+    from raytrace_tpu.ops import photon_grid as pg
+
+    sg = jax.lax.stop_gradient
+    q_p_s = sg(q_p)
+    radius2 = sg(radius2)
+    n = q_p.shape[0]
+    p = photons_p.shape[0]
+    cell_size = jnp.float32(cell_size)
+
+    # ---- sort photons by Morton cell key (invalid → sentinel, sorts last)
+    pp = sg(photons_p)
+    pv = sg(photons_valid)
+    cell = jnp.floor(pp / cell_size).astype(jnp.int32)
+    big = jnp.int32(2**30)
+    origin = jnp.min(jnp.where(pv[:, None], cell, big), axis=0)
+    origin = jnp.where(origin == big, 0, origin)  # no valid photons
+    pkey = pg.morton3(jnp.clip(cell - origin, 0, 1023))
+    pkey = jnp.where(pv, pkey, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(pkey)
+    pkey_s = pkey[order]
+
+    p_pad = -p % chunk
+    pad1 = lambda x: jnp.pad(x, (0, p_pad))
+    rows = [pp[order][:, k] for k in range(3)]
+    rows += [sg(photons_alpha)[order][:, k] for k in range(3)]
+    rows += [sg(photons_wi)[order][:, k] for k in range(3)]
+    rows += [pv[order].astype(jnp.float32)]
+    pdata = jnp.stack([pad1(rw) for rw in rows], axis=0)  # [10, P_pad]
+    pdata = jnp.pad(pdata, ((0, _ROWS - pdata.shape[0]), (0, 0)))
+
+    # ---- Morton-sort the queries for tile coherence
+    qcell = jnp.floor(q_p_s / cell_size).astype(jnp.int32) - origin
+    qkey = pg.morton3(jnp.clip(qcell, 0, 1023))
+    qlo_key = pg.morton3(jnp.clip(qcell - 1, 0, 1023))
+    qhi_key = pg.morton3(jnp.clip(qcell + 1, 0, 1023))
+    qorder = jnp.argsort(qkey)
+    unsort = jnp.argsort(qorder)
+
+    n_pad = -n % TILE_Q
+    pad_q = lambda x: jnp.pad(sg(x)[qorder].T, ((0, 0), (0, n_pad)))
+    qpT = pad_q(q_p)
+    qnsT = pad_q(q_ns)
+    qkdT = pad_q(q_kd_over_pi)
+    qr2 = jnp.pad(radius2[qorder], (0, n_pad))[None, :]  # pad r²=0: no match
+
+    # ---- per-tile photon chunk ranges
+    n_tiles = (n + n_pad) // TILE_Q
+    qlo_t = jnp.min(jnp.pad(qlo_key[qorder], (0, n_pad),
+                            constant_values=jnp.uint32(0xFFFFFFFF)
+                            ).reshape(n_tiles, TILE_Q), axis=1)
+    qhi_t = jnp.max(jnp.pad(qhi_key[qorder], (0, n_pad)
+                            ).reshape(n_tiles, TILE_Q), axis=1)
+    lo_idx = jnp.searchsorted(pkey_s, qlo_t, side="left")
+    hi_idx = jnp.searchsorted(pkey_s, qhi_t, side="right")
+    lo_chunk = (lo_idx // chunk).astype(jnp.int32)
+    nc = jnp.maximum(
+        0, -(-(hi_idx.astype(jnp.int32) - lo_chunk * chunk) // chunk)
+    ).astype(jnp.int32)
+
+    q3 = pl.BlockSpec((3, TILE_Q), lambda i, lo, nc_: (0, i),
+                      memory_space=pltpu.VMEM)
+    q1 = pl.BlockSpec((1, TILE_Q), lambda i, lo, nc_: (0, i),
+                      memory_space=pltpu.VMEM)
+    out4 = pl.BlockSpec((4, TILE_Q), lambda i, lo, nc_: (0, i),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[q3, q1, q3, q3,
+                  pl.BlockSpec(memory_space=pl.ANY)],  # photons stay HBM
+        out_specs=out4,
+        scratch_shapes=[
+            pltpu.VMEM((2, _ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_grid_kernel, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, n + n_pad), jnp.float32),
+        interpret=interpret,
+    )(lo_chunk, nc, qpT, qr2, qnsT, qkdT, pdata)
+
+    L = out[:3, :n].T[unsort]
+    m = out[3, :n][unsort].astype(jnp.int32)
+    return L, m
+
+
 def compact_photons(photons) -> tuple:
     """Sort a PhotonMap so valid photons form a prefix → (sorted map fields,
     n_valid). The stable argsort keeps deposition order within each class —

@@ -143,6 +143,92 @@ def gather_radius(
     return acc, m
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def gather_radius_dense(
+    photons: PhotonMap,
+    q_p: Array,
+    radius2: Array,
+    q_ns: Array,
+    q_kd_over_pi: Array,
+    chunk: int = 2048,
+) -> tuple[Array, Array]:
+    """EXACT all-pairs radius search, streamed over photon chunks with
+    lax.scan so the [N, chunk] transient stays bounded. Same contract as
+    gather_radius, but with no per-cell budget — the correctness oracle for
+    both the hash-grid path (which truncates at max_per_cell) and the Pallas
+    kernels, and the gather used when config.exact_gather is set.
+
+    Differentiable in alpha/kd (the weight matmul is linear in both)."""
+    n = q_p.shape[0]
+    p_total = photons.p.shape[0]
+    chunk = min(chunk, p_total)
+    pad = -p_total % chunk
+    pad_to = lambda x: jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+    ) if pad else x
+    n_chunks = (p_total + pad) // chunk
+    resh = lambda x: pad_to(x).reshape(n_chunks, chunk, *x.shape[1:])
+    pp, pa, pw = resh(photons.p), resh(photons.alpha), resh(photons.wi)
+    pv = resh(photons.valid)
+
+    def body(carry, xs):
+        acc, m = carry
+        cp, ca, cw, cv = xs
+        d2 = jnp.sum((q_p[:, None, :] - cp[None, :, :]) ** 2, axis=-1)
+        ok = (d2 < radius2[:, None]) & cv[None, :]
+        w = jnp.abs(q_ns @ cw.T)  # [N, chunk]
+        wm = jnp.where(ok, w, 0.0)
+        acc = acc + wm @ ca  # [N, 3]
+        m = m + jnp.sum(ok, axis=1, dtype=jnp.int32)
+        return (acc, m), None
+
+    (acc, m), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n,), jnp.int32)),
+        (pp, pa, pw, pv),
+    )
+    return q_kd_over_pi * acc, m
+
+
+# ---------------------------------------------------------------------------
+# Morton (z-order) keys — the spatial sort for the grid-aware Pallas gather.
+# Unlike the Teschner hash above, Morton codes are injective over the clipped
+# 1024³ cell box and MONOTONE per coordinate, so every cell of an axis-aligned
+# cell box [lo, hi] has a code within [morton(lo), morton(hi)] — which turns a
+# query tile's 27-neighborhood into one contiguous span of the sorted photon
+# array (a conservative superset; the exact dist² < r² test filters inside
+# the kernel).
+# ---------------------------------------------------------------------------
+
+def _expand_bits10(v: Array) -> Array:
+    """Spread the low 10 bits of uint32 v so consecutive bits land 3 apart."""
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def morton3(cell: Array) -> Array:
+    """[..., 3] int32 cell coords in [0, 1024) → uint32 z-order key < 2^30."""
+    c = cell.astype(jnp.uint32)
+    return (
+        (_expand_bits10(c[..., 0]) << 2)
+        | (_expand_bits10(c[..., 1]) << 1)
+        | _expand_bits10(c[..., 2])
+    )
+
+
+def morton_cells(p: Array, cell_size, origin_cell: Array) -> Array:
+    """World positions → clipped relative cell coords for morton3.
+
+    Clipping to [0, 1023] is conservative-safe: out-of-range coordinates
+    merge into the boundary cell, which only ever ADDS candidate photons to
+    a query span (the in-kernel dist² test removes them)."""
+    cell = jnp.floor(p / cell_size).astype(jnp.int32) - origin_cell
+    return jnp.clip(cell, 0, 1023)
+
+
 def max_cell_occupancy(grid: PhotonGrid) -> Array:
     """Largest per-key run in the sorted grid — if this exceeds the gather's
     max_per_cell budget, gathering truncates (observability hook; the

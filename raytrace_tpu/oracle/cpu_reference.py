@@ -342,3 +342,149 @@ def render_direct(scene: OScene, cam_to_world, fov_deg, width, height,
                 o, d = hit["p"], wi
             img[py, px] = L
     return img
+
+
+# ---------------------------------------------------------------------------
+# Photon transport (the GI oracle)
+# ---------------------------------------------------------------------------
+
+def uniform_sample_sphere(u1, u2):
+    z = 1.0 - 2.0 * u1
+    r = math.sqrt(max(0.0, 1.0 - z * z))
+    phi = 2.0 * math.pi * u2
+    return np.array([r * math.cos(phi), r * math.sin(phi), z])
+
+
+def cosine_sample_hemisphere_frame(u1, u2, nn, tangent):
+    """Cosine-weighted direction around nn using Malley's method, in the
+    (nn, tangent) frame."""
+    dx, dy = concentric_sample_disk(u1, u2)
+    dz = math.sqrt(max(0.0, 1.0 - dx * dx - dy * dy))
+    sn = _norm(tangent)
+    tn = np.cross(nn, sn)
+    return sn * dx + tn * dy + nn * dz
+
+
+def trace_photons_oracle(scene: OScene, n_paths: int, max_depth: int = 4,
+                         max_bounces: int = 10, scene_eps: float = 1e-3,
+                         seed: int = 0):
+    """Brute-force photon tracing, one Python loop per path — deliberately a
+    different code path from the JAX wavefront walk (renderers/photon.py).
+
+    Same estimator semantics as the reference walk (photontracing.cu:80-185):
+    emission-sampled start, specular bounces multiply throughput, diffuse
+    hits deposit INDIRECT-only photons (after ≥1 interaction), cosine-
+    hemisphere continuation with alpha *= f·|wi·n|/pdf, no Russian roulette
+    (matching the framework's differentiable path). Lights are striped over
+    paths with Le scaled by n_lights (renderers/photon.trace_photons).
+
+    Returns (positions [P,3], alphas [P,3], incident dirs [P,3]).
+    """
+    rng = np.random.default_rng(seed)
+    n_lights = len(scene.lights)
+    ps, alphas, wis = [], [], []
+    for path in range(n_paths):
+        lt = scene.lights[path % n_lights]
+        u = rng.random(4)
+        if lt.ltype == 0:  # point: uniform sphere, pdf 1/4π
+            o = lt.o.copy()
+            d = uniform_sample_sphere(u[0], u[1])
+            ns_l = d
+            alpha = lt.intensity * (4.0 * math.pi)
+        else:  # area disk: disk origin, hemisphere dir, pdf 1/2π, Le = I·A
+            dx, dy = concentric_sample_disk(u[0], u[1])
+            o = lt.o + dx * lt.p1 + dy * lt.p2
+            d = uniform_sample_sphere(u[2], u[3])
+            if np.dot(d, lt.normal) < 0.0:
+                d = -d
+            ns_l = lt.normal
+            alpha = abs(np.dot(ns_l, d)) * lt.intensity * lt.area * 2.0 * math.pi
+        alpha = alpha * n_lights  # 1 / (uniform light-pick pmf)
+
+        n_int = 0
+        for _ in range(max_bounces):
+            hit = intersect_one(scene, o, d, scene_eps, 1e30)
+            if hit is None:
+                break
+            mat = scene.materials[hit["mat"]]
+            if mat.mtype != 0:  # specular: multiply and continue
+                thr, wi = specular_bounce(mat, hit, _norm(-d))
+                alpha = alpha * thr
+                if n_int == 0:  # photontracing.cu:126-129
+                    n_int = 1
+                o, d = hit["p"], wi
+                if np.all(alpha == 0.0):
+                    break
+                continue
+            if n_int >= 1:  # indirect-only deposit (photontracing.cu:141-151)
+                ps.append(hit["p"])
+                alphas.append(alpha.copy())
+                wis.append(-_norm(d))
+            if n_int >= max_depth:
+                break
+            u1, u2 = rng.random(2)
+            wi = cosine_sample_hemisphere_frame(u1, u2, hit["ns"], hit["dpdu"])
+            # f·|wi·n|/pdf = (kd/π)·cosθ/(cosθ/π) = kd for Lambert
+            alpha = alpha * mat.kd
+            o, d = hit["p"], wi
+            n_int += 1
+    if not ps:
+        return np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3))
+    return np.stack(ps), np.stack(alphas), np.stack(wis)
+
+
+def gather_photons_oracle(pp, pal, pwi, q, radius2, ns, kd):
+    """Brute-force radius search + Lambert shading at one query point
+    (the reference kd-tree gather's semantics, gathering.cu:17-96):
+    returns (Σ |ns·wi|·(kd/π)·α over dist² < r², match count)."""
+    if len(pp) == 0:
+        return np.zeros(3), 0
+    d2 = ((pp - q) ** 2).sum(axis=-1)
+    sel = d2 < radius2
+    if not sel.any():
+        return np.zeros(3), 0
+    w = np.abs(pwi[sel] @ ns)
+    return (w[:, None] * (kd / math.pi) * pal[sel]).sum(axis=0), int(sel.sum())
+
+
+def render_photon_oracle(scene: OScene, cam_to_world, fov_deg, width, height,
+                         n_paths: int, radius2: float = 1.0,
+                         max_depth: int = 4, scene_eps: float = 1e-3,
+                         shadow_eps: float = 1e-3, max_spec_depth: int = 10,
+                         area_samples=None, seed: int = 0,
+                         indirect_only: bool = False):
+    """Full photon-mapping render at pixel centers: direct lighting plus a
+    single-pass density estimate L_ind = gathered/(π·r²·N_emitted). A single
+    PPM pass's α-factors cancel (flux and radius² both scale by α,
+    gathering.cu:116-122 with N=0), so this IS the one-pass progressive
+    estimate the framework computes."""
+    pp, pal, pwi = trace_photons_oracle(
+        scene, n_paths, max_depth=max_depth, scene_eps=scene_eps, seed=seed)
+    img = np.zeros((height, width, 3))
+    inv_norm = 1.0 / (math.pi * radius2 * n_paths)
+    for py in range(height):
+        for px in range(width):
+            o, d = camera_ray(cam_to_world, fov_deg, width, height,
+                              px + 0.5, py + 0.5)
+            atten = np.ones(3)
+            L = np.zeros(3)
+            for depth in range(max_spec_depth + 1):
+                hit = intersect_one(scene, o, d, scene_eps, 1e30)
+                if hit is None:
+                    break
+                mat = scene.materials[hit["mat"]]
+                if mat.mtype == 0:
+                    direct = np.zeros(3)
+                    if not indirect_only:
+                        direct = direct_light_at(
+                            scene, hit, _norm(-d), shadow_eps,
+                            area_samples=area_samples, include_emitted=True)
+                    gathered, _ = gather_photons_oracle(
+                        pp, pal, pwi, hit["p"], radius2, hit["ns"], mat.kd)
+                    L = atten * (direct + gathered * inv_norm)
+                    break
+                thr, wi = specular_bounce(mat, hit, _norm(-d))
+                atten = atten * thr
+                o, d = hit["p"], wi
+            img[py, px] = L
+    return img

@@ -60,9 +60,16 @@ def _radiance_shard(
 
     rays = generate_rays(camera, xy_s, lens_s, config.spp)
     rec = common.camera_pass(scene, rays.o, rays.d, config)
+    # GLOBAL pixel-sample ids: light-sample uniforms are a pure function of
+    # them, so the N-chip render draws the same numbers as 1-chip
+    n_local = xy_s.shape[0]
+    sample_ids = (
+        chip.astype(jnp.uint32) * jnp.uint32(n_local)
+        + jnp.arange(n_local, dtype=jnp.uint32)
+    )
     direct = common.direct_lighting(
-        scene, rec, jax.random.fold_in(k_light, chip), config, light_samples,
-        include_emitted=True,
+        scene, rec, k_light, config, light_samples,
+        include_emitted=True, sample_ids=sample_ids,
     )
 
     n_local = xy_s.shape[0]

@@ -142,6 +142,7 @@ def direct_lighting(
     config: RenderConfig,
     light_samples: tuple[int, ...],
     include_emitted: bool = True,
+    sample_ids: Array | None = None,
 ) -> Array:
     """Direct lighting with shadow rays at the recorded hit points
     (reference: raytracing.cu:49-84 directLight).
@@ -149,6 +150,12 @@ def direct_lighting(
     L = lightL(self) + Σ_lights Σ_s atten·|n_s·wi|·f·li / (pdf·nSamples)
     Shadow rays run over the unnormalized uwi in [eps, 1-eps]
     (reference: raytracing.cu:72).
+
+    sample_ids: GLOBAL pixel-sample ids (default arange(n)). Light-sample
+    uniforms are threefry(key, light/sample, global id) — a pure function of
+    the global id, so an N-chip sharded render draws exactly the same
+    numbers as the 1-chip render (same contract as the photon walk,
+    renderers/photon.trace_photons).
     """
     n = rec.p.shape[0]
     hit = rec.hit
@@ -156,6 +163,8 @@ def direct_lighting(
     L = jnp.zeros((n, 3), jnp.float32)
     if include_emitted:
         L += light_ops.light_L(scene.lights, rec.light, -rec.direction)
+    if sample_ids is None:
+        sample_ids = jnp.arange(n, dtype=jnp.uint32)
 
     eps = config.shadow_epsilon
     for i, ns_i in enumerate(light_samples):
@@ -164,7 +173,11 @@ def direct_lighting(
             # stratify the per-light samples over the s index (pbrt's
             # stratified 2D arrays; reference reads bRandom2D at
             # cudalight.cu.h:34-35)
-            u = jax.random.uniform(sub, (n, 2), dtype=jnp.float32)
+            u = jax.vmap(
+                lambda g: jax.random.uniform(
+                    jax.random.fold_in(sub, g), (2,), dtype=jnp.float32
+                )
+            )(sample_ids)
             sx, sy = _strata(ns_i)
             kx, ky = s % sx, s // sx
             u = (u + jnp.array([kx, ky], jnp.float32)) / jnp.array(

@@ -56,7 +56,7 @@ def trace_photons(
     config: RenderConfig,
     key: Array,
     pass_idx: int,
-    light_index: int = 0,
+    light_index: int | None = None,
     path_offset=0,
 ) -> photon_grid.PhotonMap:
     """One photon wave: `photon_paths` light paths, ≤ max_photon_depth diffuse
@@ -80,21 +80,36 @@ def trace_photons(
     # anti-pattern this replaces).
     perms = sampling.halton_permutations(k_perm)
     stride = max_depth if config.halton_stride_by_depth else 1
-    halton_idx = (
-        jnp.arange(n_paths, dtype=jnp.uint32) + jnp.uint32(path_offset)
-    ) * jnp.uint32(stride)
-    smp = sampling.halton_sample_4d(halton_idx, perms)  # [paths, 4]
-    le, o, d, ns_l, pdf = light_ops.sample_Le(
-        scene.lights, light_index, smp[:, 0], smp[:, 1], smp[:, 2], smp[:, 3]
+    global_path_ids = jnp.arange(n_paths, dtype=jnp.uint32) + jnp.uint32(
+        path_offset
     )
+    halton_idx = global_path_ids * jnp.uint32(stride)
+    smp = sampling.halton_sample_4d(halton_idx, perms)  # [paths, 4]
+    # Per-path light selection for multi-light scenes: the reference shoots
+    # every photon from light 0 (gContext["lightSourceIndex"]->setUint(0),
+    # photonmappingrenderer.cpp:211), silently dropping indirect light from
+    # the rest. We stripe paths over the table by GLOBAL path id (uniform
+    # pick, Le scaled by n_lights = 1/pmf) — deterministic at any sharding.
+    n_lights = scene.lights.count
+    if light_index is None and n_lights > 1:
+        i_light = (global_path_ids % jnp.uint32(n_lights)).astype(jnp.int32)
+        light_scale = jnp.float32(n_lights)
+    else:
+        i_light = light_index if light_index is not None else 0
+        light_scale = jnp.float32(1.0)
+    le, o, d, ns_l, pdf = light_ops.sample_Le(
+        scene.lights, i_light, smp[:, 0], smp[:, 1], smp[:, 2], smp[:, 3]
+    )
+    le = le * light_scale
     alpha = vec.absdot(ns_l, d)[:, None] * le / jnp.where(pdf == 0.0, 1.0, pdf)[:, None]
     alive = (pdf > 0.0) & ~spectrum.is_black(le)
 
     # 3 uniforms per diffuse bounce (photonmappingrenderer.cpp:182,208-210),
     # derived per-path from the GLOBAL path id so any sharding reproduces the
     # exact same photon set
-    global_ids = jnp.arange(n_paths, dtype=jnp.uint32) + jnp.uint32(path_offset)
-    path_keys = jax.vmap(lambda i: jax.random.fold_in(k_bounce, i))(global_ids)
+    path_keys = jax.vmap(lambda i: jax.random.fold_in(k_bounce, i))(
+        global_path_ids
+    )
     uniforms = jax.vmap(
         lambda k: jax.random.uniform(k, (max_depth + 1, 3), dtype=jnp.float32)
     )(path_keys)
@@ -153,9 +168,16 @@ def trace_photons(
             * vec.absdot(wi_d, vec.normalize(hit.ns))[:, None]
             / jnp.where(pdf_b == 0.0, 1.0, pdf_b)[:, None]
         )
-        if config.russian_roulette:
+        if config.russian_roulette and not config.differentiable:
             # the commented-out pbrt roulette, enabled
-            # (photontracing.cu:173-178): P = min(1, y(anew)/y(alpha))
+            # (photontracing.cu:173-178): P = min(1, y(anew)/y(alpha)).
+            # RR is OFF on the differentiable path: the survival test
+            # u <= P(kd) flips discretely under parameter perturbation
+            # (finite differences see jumps) and pathwise AD through the
+            # 1/P(kd) reweighting is biased without the score-function
+            # term — and the differentiable walk is a fixed-trip fori_loop
+            # anyway, so roulette saves no work there. Verified: without RR
+            # the FD/AD albedo check agrees to ~4 significant digits.
             y_old = spectrum.luminance(alpha)
             y_new = spectrum.luminance(anew)
             p_cont = jnp.minimum(1.0, y_new / jnp.where(y_old == 0.0, 1.0, y_old))
@@ -215,15 +237,33 @@ def gathering_pass(
     kd_over_pi = mat_ops.f(scene.materials, rec.mat, wo, wo)
     from raytrace_tpu.ops.intersect import _pallas_enabled
 
-    if not config.differentiable and _pallas_enabled():
+    if config.exact_gather:
+        idl, m = photon_grid.gather_radius_dense(
+            photons, rec.p, state.radius2, rec.ns, kd_over_pi
+        )
+        info = dict(valid_photons=jnp.sum(photons.valid).astype(jnp.int32),
+                    max_cell_occupancy=jnp.int32(-1))  # -1 = exact path
+    elif not config.differentiable and _pallas_enabled():
         from raytrace_tpu.ops import pallas_gather
 
-        pp, pa, pw, pv, n_valid = pallas_gather.compact_photons(photons)
-        idl, m = pallas_gather.gather_radius_pallas(
-            pp, pa, pw, pv, n_valid, rec.p, state.radius2, rec.ns, kd_over_pi
-        )
+        if photons.p.shape[0] >= (1 << 14):
+            # grid-aware kernel: cost ∝ photons near each query tile
+            # (Morton-sorted spans), not total photon count — the only
+            # path that scales to the BASELINE 16M-photon config
+            cell_size = jnp.sqrt(jnp.float32(config.initial_radius2))
+            idl, m = pallas_gather.gather_radius_pallas_grid(
+                photons.p, photons.alpha, photons.wi, photons.valid,
+                cell_size, rec.p, state.radius2, rec.ns, kd_over_pi,
+            )
+            n_valid = jnp.sum(photons.valid).astype(jnp.int32)
+        else:
+            pp, pa, pw, pv, n_valid = pallas_gather.compact_photons(photons)
+            idl, m = pallas_gather.gather_radius_pallas(
+                pp, pa, pw, pv, n_valid, rec.p, state.radius2, rec.ns,
+                kd_over_pi,
+            )
         info = dict(valid_photons=n_valid,
-                    max_cell_occupancy=jnp.int32(0))  # dense path is exact
+                    max_cell_occupancy=jnp.int32(-1))  # -1: exact, no budget
     else:
         cell_size = jnp.sqrt(jnp.float32(config.initial_radius2))
         grid = photon_grid.build_photon_grid(photons, cell_size)
@@ -285,6 +325,98 @@ def render_photon(
     if return_aux:
         return img, aux
     return img
+
+
+@partial(jax.jit, static_argnames=("config", "light_samples", "jitter"))
+def _ppm_setup(
+    scene: Scene,
+    camera: PerspectiveCamera,
+    key: Array,
+    config: RenderConfig,
+    light_samples: tuple[int, ...],
+    jitter: bool,
+):
+    """Deterministic per-render setup: pixel samples, camera records, direct
+    lighting, zeroed PPM state. Recomputed (not checkpointed) on resume —
+    it is a pure function of (key, config)."""
+    k_pix, k_light, k_photon = jax.random.split(key, 3)
+    xy, lens = pixel_samples(
+        k_pix, config.width, config.height, config.spp, jitter=jitter
+    )
+    rays = generate_rays(camera, xy, lens, config.spp)
+    rec = common.camera_pass(scene, rays.o, rays.d, config)
+    direct = common.direct_lighting(
+        scene, rec, k_light, config, light_samples, include_emitted=True
+    )
+    n = rays.o.shape[0]
+    state = ProgressiveState(
+        radius2=jnp.full((n,), config.initial_radius2, jnp.float32),
+        photon_count=jnp.zeros((n,), jnp.float32),
+        flux=jnp.zeros((n, 3), jnp.float32),
+    )
+    return xy, rec, direct, state, k_photon
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _ppm_wave(
+    scene: Scene,
+    rec: common.CameraRecords,
+    state: ProgressiveState,
+    k_photon: Array,
+    pass_idx: Array,
+    config: RenderConfig,
+):
+    """One progressive photon wave: trace + gather + radius/flux update.
+    pass_idx is traced, so every wave reuses one compilation."""
+    photons = trace_photons(scene, config, k_photon, pass_idx)
+    return gathering_pass(scene, rec, state, photons, config)
+
+
+def render_photon_progressive(
+    scene: Scene,
+    camera: PerspectiveCamera,
+    config: RenderConfig,
+    key: Array,
+    jitter: bool = True,
+    checkpoint_path: str | None = None,
+    save_every: int = 1,
+):
+    """Wave-by-wave progressive render with optional checkpoint/resume
+    (SURVEY.md §5.4 — the reference's PPM state persists only in device
+    memory within one run and passes is hard-coded to 1,
+    photonmappingrenderer.cpp:38).
+
+    If checkpoint_path exists, rendering resumes from the stored wave;
+    otherwise every `save_every` waves the state is written. Waves are pure
+    functions of (key, pass index), so resumed == uninterrupted exactly.
+
+    Returns (image [H, W, 3], ProgressiveState).
+    """
+    import os
+
+    from raytrace_tpu.utils import checkpoint as ckpt
+
+    light_samples = common.static_light_samples(scene, config)
+    xy, rec, direct, state, k_photon = _ppm_setup(
+        scene, camera, key, config, light_samples, jitter
+    )
+    start = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        state, start, _, _ = ckpt.load_progressive(checkpoint_path)
+    for p in range(start, config.photon_passes):
+        state, _ = _ppm_wave(scene, rec, state, k_photon, jnp.int32(p), config)
+        done = p + 1
+        if checkpoint_path and save_every and (
+            done % save_every == 0 or done == config.photon_passes
+        ):
+            ckpt.save_progressive(
+                checkpoint_path, jax.device_get(state), done, key,
+                emitted_photons=float(config.photon_paths) * done,
+            )
+    emitting = jnp.float32(config.photon_paths * config.photon_passes)
+    L = final_gathering(rec, direct, state, emitting)
+    img = film.splat_box(xy, L, config.width, config.height)
+    return img, state
 
 
 @partial(jax.jit, static_argnames=("config", "light_samples", "jitter"))

@@ -23,7 +23,10 @@ from raytrace_tpu.core.sampling import (
 from raytrace_tpu.scene.scene import LIGHT_AREA_DISK, LIGHT_POINT, Lights
 
 
-def _light_row(lights: Lights, i: int):
+def _light_row(lights: Lights, i):
+    """Row(s) of the light table. `i` may be a static int (scalar row) or an
+    [N] index array (one row per sample — used for per-path light selection
+    in photon shooting)."""
     return jax.tree_util.tree_map(lambda a: a[i], lights)
 
 
@@ -64,10 +67,14 @@ def sample_L_illum(
 
 
 def sample_Le(
-    lights: Lights, i_light: int, lu1: Array, lu2: Array, u1: Array, u2: Array
+    lights: Lights, i_light, lu1: Array, lu2: Array, u1: Array, u2: Array
 ) -> tuple[Array, Array, Array, Array, Array]:
     """Emission sampling for photon shooting
     (reference: cudalight.cu.h:78-124 Sample_L ray variant).
+
+    i_light: static int (all samples from one light, reference semantics —
+    lightSourceIndex=0, photonmappingrenderer.cpp:211) or an [N] index array
+    (per-path light selection for multi-light scenes).
 
     Returns (Le [N,3], ray_o [N,3], ray_d [N,3], Ns [N,3], pdf [N]).
     """
@@ -84,19 +91,21 @@ def sample_Le(
     # disk area light: disk origin + uniform-sphere dir flipped to the normal
     # hemisphere, pdf 1/2π, Le = intensity·area (cu.h:90-110)
     dx, dy = concentric_sample_disk(lu1, lu2)
-    o_ar = cld.o + dx[:, None] * cld.p1 + dy[:, None] * cld.p2
+    o_ar = jnp.broadcast_to(cld.o, (n, 3)) + dx[:, None] * cld.p1 + dy[:, None] * cld.p2
     d_ar = uniform_sample_sphere(u1, u2)
     ns_ar = jnp.broadcast_to(cld.normal, (n, 3))
     flip = vec.dot(d_ar, ns_ar) < 0.0
     d_ar = jnp.where(flip[:, None], -d_ar, d_ar)
     pdf_ar = jnp.full((n,), INV_TWOPI, lu1.dtype)
-    le_ar = jnp.broadcast_to(cld.intensity * cld.area, (n, 3))
+    area = jnp.broadcast_to(jnp.asarray(cld.area), (n,))
+    le_ar = jnp.broadcast_to(cld.intensity, (n, 3)) * area[:, None]
 
-    is_point = cld.ltype == LIGHT_POINT
-    le = jnp.where(is_point, le_pt, le_ar)
-    o = jnp.where(is_point, o_pt, o_ar)
-    d = jnp.where(is_point, d_pt, d_ar)
-    ns = jnp.where(is_point, ns_pt, ns_ar)
+    is_point = jnp.broadcast_to(jnp.asarray(cld.ltype == LIGHT_POINT), (n,))
+    ip3 = is_point[:, None]
+    le = jnp.where(ip3, le_pt, le_ar)
+    o = jnp.where(ip3, o_pt, o_ar)
+    d = jnp.where(ip3, d_pt, d_ar)
+    ns = jnp.where(ip3, ns_pt, ns_ar)
     pdf = jnp.where(is_point, pdf_pt, pdf_ar)
     return le, o, d, ns, pdf
 

@@ -1,0 +1,112 @@
+"""Per-pixel global-illumination parity vs the numpy oracle (BASELINE
+configs[1] and [2]).
+
+The direct component is already parity-tested per-pixel in
+test_simple_render.py; here the INDIRECT (photon) component is isolated by
+rendering twice with the same key — once with the normal gather radius and
+once with a radius that can never match a photon — and differencing. The
+direct-lighting samples are identical in both renders, so they cancel
+exactly, leaving the pure photon estimate to compare against the oracle's
+independent brute-force photon transport (oracle/cpu_reference.py:
+trace_photons_oracle / render_photon_oracle).
+
+Both sides use the same gather radius, so the density-estimation bias is
+identical and the comparison tolerance only has to absorb Monte Carlo noise
+(independent sample sequences on the two sides).
+"""
+import dataclasses
+
+import jax
+import numpy as np
+
+from raytrace_tpu.core.config import RenderConfig
+from raytrace_tpu.oracle import cpu_reference as orc
+from raytrace_tpu.renderers.photon import render_photon
+from raytrace_tpu.scene.camera import PerspectiveCamera
+
+from tests.scenes import cornell_box_scene
+
+KEY = jax.random.PRNGKey(3)
+SIZE = 16
+FOV = 60.0
+
+
+def _indirect_jax(scene, camera, config, key):
+    """Photon-only image: full render minus zero-radius render (same key →
+    direct samples cancel exactly)."""
+    full = np.asarray(render_photon(scene, camera, config, key, jitter=False))
+    cfg0 = dataclasses.replace(config, initial_radius2=1e-12)
+    direct = np.asarray(render_photon(scene, camera, cfg0, key, jitter=False))
+    return full - direct
+
+
+def _block_mean(img, k):
+    h, w, c = img.shape
+    return img.reshape(h // k, k, w // k, k, c).mean(axis=(1, 3))
+
+
+class TestCornellGIParity:
+    def test_indirect_per_pixel(self):
+        """Cornell diffuse GI (BASELINE config[1]): the per-pixel indirect
+        radiance must match the oracle's brute-force photon estimate."""
+        scene, oscene, c2w = cornell_box_scene()
+        camera = PerspectiveCamera.make(c2w, FOV, SIZE, SIZE)
+        r2 = 0.5
+        config = RenderConfig(
+            width=SIZE, height=SIZE, spp=1, scene_epsilon=1e-3,
+            photon_paths=1 << 15, photon_passes=1, max_photon_bounces=8,
+            initial_radius2=r2, russian_roulette=False, exact_gather=True,
+        )
+        ind_jax = _indirect_jax(scene, camera, config, KEY)
+        ind_orc = orc.render_photon_oracle(
+            oscene, c2w, FOV, SIZE, SIZE, n_paths=1 << 13, radius2=r2,
+            scene_eps=1e-3, indirect_only=True, seed=11,
+        )
+        # the box interior is lit everywhere indirectly — assert real signal
+        assert ind_orc.mean() > 0.01
+        scale = ind_orc.mean()
+        err = np.abs(ind_jax - ind_orc)
+        tol = 0.15 * np.maximum(np.abs(ind_orc), np.abs(ind_jax)) + 0.10 * scale
+        frac_ok = (err <= tol).mean()
+        assert frac_ok > 0.97, (
+            f"per-pixel GI parity: only {frac_ok:.3f} of pixels within tol; "
+            f"means jax={ind_jax.mean():.4f} oracle={ind_orc.mean():.4f}"
+        )
+        assert abs(ind_jax.mean() - ind_orc.mean()) < 0.05 * scale
+
+    def test_caustics_per_pixel(self):
+        """Glass-ball caustics (BASELINE config[2]): specular photon paths
+        through the ball must produce the same indirect pattern as the
+        oracle — a wrong specular-photon path (e.g. dead TIR or a bad
+        refract frame) shifts or kills the caustic and fails this."""
+        scene, oscene, c2w = cornell_box_scene(ball="glass")
+        camera = PerspectiveCamera.make(c2w, FOV, SIZE, SIZE)
+        r2 = 0.25
+        config = RenderConfig(
+            width=SIZE, height=SIZE, spp=1, scene_epsilon=1e-3,
+            photon_paths=1 << 16, photon_passes=1, max_photon_bounces=10,
+            initial_radius2=r2, russian_roulette=False, exact_gather=True,
+        )
+        ind_jax = _indirect_jax(scene, camera, config, KEY)
+        ind_orc = orc.render_photon_oracle(
+            oscene, c2w, FOV, SIZE, SIZE, n_paths=1 << 13, radius2=r2,
+            scene_eps=1e-3, indirect_only=True, seed=12,
+        )
+        assert ind_orc.mean() > 0.01
+        # caustic noise is concentrated; compare 4x4 block means per-block
+        bj = _block_mean(ind_jax, 4)
+        bo = _block_mean(ind_orc, 4)
+        scale = bo.mean()
+        err = np.abs(bj - bo)
+        tol = 0.20 * np.maximum(np.abs(bo), np.abs(bj)) + 0.10 * scale
+        frac_ok = (err <= tol).mean()
+        assert frac_ok > 0.95, (
+            f"caustics parity: only {frac_ok:.3f} of blocks within tol; "
+            f"means jax={bj.mean():.4f} oracle={bo.mean():.4f}"
+        )
+        # the caustic hot spot must land in the same place
+        flat_j = bj.sum(-1).reshape(-1)
+        flat_o = bo.sum(-1).reshape(-1)
+        pj = np.unravel_index(flat_j.argmax(), bj.shape[:2])
+        po = np.unravel_index(flat_o.argmax(), bo.shape[:2])
+        assert abs(pj[0] - po[0]) <= 1 and abs(pj[1] - po[1]) <= 1, (pj, po)

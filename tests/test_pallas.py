@@ -113,6 +113,67 @@ def test_pallas_gather_matches_reference_sum():
     np.testing.assert_array_equal(np.asarray(m_g), m_ref)
 
 
+def test_pallas_grid_gather_matches_dense():
+    """The grid-aware Pallas kernel (Morton-sorted photons, per-tile chunk
+    ranges, double-buffered DMA) must reproduce the exact dense gather —
+    radii at/below the cell size, clustered photons, invalid photons, and
+    query/photon counts off the tile boundaries."""
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+    from raytrace_tpu.ops import photon_grid as pg
+
+    rng = np.random.default_rng(23)
+    P, N = 3000, 300
+    cell = 0.5
+    # clustered photons → non-uniform cell occupancy
+    centers = rng.uniform(-3, 3, (12, 3))
+    p = (centers[rng.integers(0, 12, P)] +
+         rng.normal(scale=0.4, size=(P, 3))).astype(np.float32)
+    alpha = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    wi = rng.normal(size=(P, 3)).astype(np.float32)
+    wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+    valid = rng.uniform(size=P) < 0.8
+
+    qp = rng.uniform(-3.5, 3.5, (N, 3)).astype(np.float32)
+    r2 = rng.uniform(0.01, cell * cell, N).astype(np.float32)
+    ns = rng.normal(size=(N, 3)).astype(np.float32)
+    ns /= np.linalg.norm(ns, axis=-1, keepdims=True)
+    kd = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+
+    photons = pg.PhotonMap(p=jnp.asarray(p), alpha=jnp.asarray(alpha),
+                           wi=jnp.asarray(wi), valid=jnp.asarray(valid))
+    L_ref, m_ref = pg.gather_radius_dense(
+        photons, jnp.asarray(qp), jnp.asarray(r2), jnp.asarray(ns),
+        jnp.asarray(kd),
+    )
+    L, m = pg_pallas.gather_radius_pallas_grid(
+        photons.p, photons.alpha, photons.wi, photons.valid, cell,
+        jnp.asarray(qp), jnp.asarray(r2), jnp.asarray(ns), jnp.asarray(kd),
+        interpret=True, chunk=256,
+    )
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+
+
+def test_pallas_grid_gather_no_valid_photons():
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+
+    rng = np.random.default_rng(5)
+    P, N = 300, 130
+    p = rng.uniform(-1, 1, (P, 3)).astype(np.float32)
+    z3 = jnp.zeros((P, 3), jnp.float32)
+    L, m = pg_pallas.gather_radius_pallas_grid(
+        jnp.asarray(p), z3, z3, jnp.zeros((P,), bool), 1.0,
+        jnp.asarray(rng.uniform(-1, 1, (N, 3)).astype(np.float32)),
+        jnp.full((N,), 0.5, jnp.float32),
+        jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (N, 1)),
+        jnp.full((N, 3), 0.3, jnp.float32),
+        interpret=True, chunk=128,
+    )
+    assert np.asarray(m).sum() == 0
+    assert np.abs(np.asarray(L)).sum() == 0.0
+
+
 def test_pallas_winner_reintersection_is_differentiable():
     """Gradients must flow through the returned t via the winner
     re-intersection (hit-finding itself is stop_gradient'd)."""

@@ -1,0 +1,134 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (conftest).
+
+The design contract (parallel/sharded.py): photon Halton indices and bounce
+RNG keys are pure functions of the GLOBAL photon path id, so an N-chip render
+traces exactly the same photon set as the 1-chip render — images and
+gradients must match up to float reassociation. The reference has no
+multi-device code at all (SURVEY.md §2.6); these tests pin down the new
+framework's scaling semantics.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace_tpu.core.config import RenderConfig
+from raytrace_tpu.diff.render import extract_params
+from raytrace_tpu.parallel import sharded
+from raytrace_tpu.renderers.photon import render_photon, trace_photons
+from raytrace_tpu.scene import presets
+
+KEY = jax.random.PRNGKey(21)
+SIZE = 16
+
+
+def _setup(n_paths=1 << 10, spp=1, **kw):
+    scene, camera = presets.cornell_box(size=SIZE)
+    config = RenderConfig(
+        width=SIZE, height=SIZE, spp=spp, scene_epsilon=1e-3,
+        photon_paths=n_paths, photon_passes=1, max_photon_bounces=4, **kw,
+    )
+    return scene, camera, config
+
+
+class TestShardedPhotonDeterminism:
+    def test_global_photon_ids_reproduce_any_sharding(self):
+        """The union of per-chip photon waves over disjoint path-id slices
+        must equal the single-device wave photon-for-photon."""
+        scene, camera, config = _setup(n_paths=512)
+        full = trace_photons(scene, config, KEY, pass_idx=0)
+
+        n_chips = 4
+        per = config.photon_paths // n_chips
+        cfg_local = dataclasses.replace(config, photon_paths=per)
+        parts = [
+            trace_photons(scene, cfg_local, KEY, pass_idx=0,
+                          path_offset=c * per)
+            for c in range(n_chips)
+        ]
+        cat = lambda f: np.concatenate([np.asarray(getattr(p, f))
+                                        for p in parts])
+        np.testing.assert_allclose(cat("p"), np.asarray(full.p),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(cat("alpha"), np.asarray(full.alpha),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(cat("valid"), np.asarray(full.valid))
+
+
+class TestShardedRender:
+    def test_render_matches_single_device(self):
+        """render_photon_sharded over 8 virtual devices == render_photon,
+        up to float reassociation in the gather sums."""
+        scene, camera, config = _setup(n_paths=1 << 10, spp=8,
+                                       exact_gather=True)
+        mesh = sharded.make_mesh()
+        assert mesh.devices.size == 8
+        img_s = np.asarray(sharded.render_photon_sharded(
+            scene, camera, config, KEY, mesh, jitter=False))
+        img_1 = np.asarray(_render_single_like_sharded(
+            scene, camera, config, KEY))
+        np.testing.assert_allclose(img_s, img_1, rtol=5e-4, atol=5e-5)
+
+    def test_render_runs_with_odd_paths(self):
+        """Photon paths not divisible by the chip count must still render
+        (per-chip slice = floor(paths / chips))."""
+        scene, camera, config = _setup(n_paths=1000 + 8, spp=8)
+        mesh = sharded.make_mesh()
+        img = sharded.render_photon_sharded(
+            scene, camera, config, KEY, mesh, jitter=False)
+        assert np.isfinite(np.asarray(img)).all()
+
+    def test_pixel_samples_must_divide(self):
+        scene, camera, config = _setup(spp=1)
+        mesh = sharded.make_mesh()
+        # 16*16*1 = 256 divides 8, so force a bad width instead
+        config = dataclasses.replace(config, width=9, height=9)
+        with pytest.raises(AssertionError):
+            sharded.render_photon_sharded(
+                scene, camera, config, KEY, mesh, jitter=False)
+
+
+class TestShardedGradients:
+    def test_train_step_gradient_matches_single_device(self):
+        """The psum'd parameter gradient from the sharded train step equals
+        the single-device gradient of the same estimator."""
+        from raytrace_tpu.renderers import common as rcommon
+
+        scene, camera, config = _setup(n_paths=1 << 9, spp=8,
+                                       differentiable=True,
+                                       exact_gather=True)
+        mesh = sharded.make_mesh()
+        params = extract_params(scene)
+        target = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
+
+        light_samples = rcommon.static_light_samples(scene, config)
+        loss_s, new_s = sharded._train_step_jit(
+            params, target, scene, camera, KEY, config, light_samples,
+            mesh, 0.5,
+        )
+
+        # single-device reference: same estimator (the sharded forward with a
+        # 1-device mesh is numerically the unsharded forward)
+        mesh1 = sharded.make_mesh(jax.devices()[:1])
+        loss_1, new_1 = sharded._train_step_jit(
+            params, target, scene, camera, KEY, config, light_samples,
+            mesh1, 0.5,
+        )
+        np.testing.assert_allclose(float(loss_s), float(loss_1),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(new_s.kd),
+                                   np.asarray(new_1.kd),
+                                   rtol=5e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_s.intensity),
+                                   np.asarray(new_1.intensity),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def _render_single_like_sharded(scene, camera, config, key):
+    """The sharded pipeline on a 1-device mesh — same key-splitting layout as
+    render_photon_sharded, so N-device results can be compared against it."""
+    mesh1 = sharded.make_mesh(jax.devices()[:1])
+    return sharded.render_photon_sharded(
+        scene, camera, config, key, mesh1, jitter=False)
