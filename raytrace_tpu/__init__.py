@@ -16,4 +16,6 @@ Layer map (mirrors SURVEY.md §1, reimagined):
   utils/      film, image IO, logging
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from raytrace_tpu.scene.pbrt import load_pbrt, loads_pbrt  # noqa: F401,E402

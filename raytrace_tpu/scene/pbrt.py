@@ -1,0 +1,413 @@
+"""pbrt-v2 scene-file ingestion.
+
+The reference renders pbrt scene files: pbrt-v2 parses the file and calls
+the reference's hooks during parse (/root/reference/README:12;
+cudaapi.cpp:9-26). Here a small self-contained parser covers the statement
+subset the reference pipeline actually consumes — cameras, film, transforms,
+matte/mirror/glass materials, trianglemesh/sphere/disk shapes, point lights
+and diffuse disk area lights, ObjectBegin/ObjectInstance — and feeds the
+same SceneBuilder the programmatic presets use. Unsupported statements warn
+and degrade gracefully, exactly like the reference's unknown-shape/light
+warnings (cudarender.cpp:141-144, cudalight.cpp:11-14).
+
+Grammar (pbrt-v2 file format): whitespace-separated tokens; `#` comments;
+quoted strings; `[ ... ]` parameter arrays; parameter names are
+type-decorated strings like "float fov" or "rgb Kd".
+"""
+from __future__ import annotations
+
+import re
+import warnings
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from raytrace_tpu.scene import transform as tr
+from raytrace_tpu.scene.builder import SceneBuilder
+from raytrace_tpu.scene.camera import PerspectiveCamera
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\[|\]|[^\s"\[\]]+')
+
+
+def _tokenize(text: str):
+    for line in text.splitlines():
+        hash_pos = line.find("#")
+        if hash_pos >= 0:
+            line = line[:hash_pos]
+        yield from _TOKEN_RE.findall(line)
+
+
+def _is_quoted(tok: str) -> bool:
+    return tok.startswith('"')
+
+
+def _unquote(tok: str) -> str:
+    return tok[1:-1]
+
+
+def _to_number(tok: str):
+    try:
+        return int(tok)
+    except ValueError:
+        return float(tok)
+
+
+@dataclass
+class _GraphicsState:
+    """pbrt graphics state saved/restored by AttributeBegin/End."""
+    ctm: np.ndarray = field(default_factory=tr.identity)
+    material: int | None = None
+    area_light: dict | None = None
+    reverse_orientation: bool = False
+
+    def copy(self) -> "_GraphicsState":
+        return _GraphicsState(
+            ctm=self.ctm.copy(),
+            material=self.material,
+            area_light=None if self.area_light is None
+            else dict(self.area_light),
+            reverse_orientation=self.reverse_orientation,
+        )
+
+
+@dataclass
+class PbrtScene:
+    """Parse result: the built Scene + camera + film/render options."""
+    scene: object
+    camera: PerspectiveCamera
+    width: int
+    height: int
+    spp: int
+    renderer: str  # "simple" | "photonmapping" (cudarender.cpp:126-134)
+
+
+class _Parser:
+    def __init__(self, text: str, use_bvh=None):
+        self.toks = list(_tokenize(text))
+        self.pos = 0
+        self.builder = SceneBuilder()
+        self.use_bvh = use_bvh
+        self.state = _GraphicsState()
+        self.state_stack: list[_GraphicsState] = []
+        self.ctm_stack: list[np.ndarray] = []
+        # camera/film defaults (pbrt-v2 defaults)
+        self.cam_to_world = tr.identity()
+        self.fov = 90.0
+        self.width, self.height, self.spp = 640, 480, 1
+        self.renderer = "photonmapping"
+        self.in_object: str | None = None
+        self.object_recorder = None
+
+    # -- token stream --------------------------------------------------------
+    def _peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def _next(self):
+        tok = self.toks[self.pos]
+        self.pos += 1
+        return tok
+
+    def _numbers(self, n: int) -> list[float]:
+        return [float(self._next()) for _ in range(n)]
+
+    def _params(self) -> dict:
+        """Parse '"type name" value-or-[values]' pairs until the next
+        directive token. Returns {name: (type, [values])}."""
+        out = {}
+        while True:
+            tok = self._peek()
+            if tok is None or not _is_quoted(tok):
+                return out
+            decl = _unquote(self._next()).split()
+            ptype, name = (decl[0], decl[1]) if len(decl) == 2 else ("", decl[0])
+            vals = []
+            if self._peek() == "[":
+                self._next()
+                while self._peek() != "]":
+                    v = self._next()
+                    vals.append(_unquote(v) if _is_quoted(v)
+                                else _to_number(v))
+                self._next()
+            else:
+                v = self._next()
+                vals.append(_unquote(v) if _is_quoted(v) else _to_number(v))
+            out[name] = (ptype, vals)
+
+    # -- parameter helpers ----------------------------------------------------
+    @staticmethod
+    def _get(params, name, default=None):
+        return params[name][1] if name in params else default
+
+    @staticmethod
+    def _get1(params, name, default=None):
+        return params[name][1][0] if name in params else default
+
+    def _rgb(self, params, name, default):
+        v = self._get(params, name)
+        if v is None:
+            return np.asarray(default, np.float64)
+        if len(v) == 1:
+            return np.full(3, float(v[0]))
+        return np.asarray(v[:3], np.float64)
+
+    # -- main loop -------------------------------------------------------------
+    def parse(self) -> PbrtScene:
+        while self.pos < len(self.toks):
+            d = self._next()
+            handler = getattr(self, "_stmt_" + d, None)
+            if handler is not None:
+                handler()
+            elif d in ("WorldBegin", "WorldEnd", "TransformEnd"):
+                if d == "WorldBegin":
+                    self.state.ctm = tr.identity()
+                elif d == "TransformEnd":
+                    self.state.ctm = self.ctm_stack.pop()
+            elif d == "TransformBegin":
+                self.ctm_stack.append(self.state.ctm.copy())
+            else:
+                # consume any parameter list, then warn (graceful degrade —
+                # cudarender.cpp:141-144)
+                if self._peek() is not None and _is_quoted(self._peek()):
+                    nxt = _unquote(self._peek())
+                    # a directive's own name-string argument
+                    if " " not in nxt:
+                        self._next()
+                self._params()
+                warnings.warn(f"pbrt: unsupported directive {d!r} ignored")
+        scene = self.builder.build(use_bvh=self.use_bvh)
+        camera = PerspectiveCamera.make(
+            self.cam_to_world, self.fov, self.width, self.height
+        )
+        return PbrtScene(scene=scene, camera=camera, width=self.width,
+                         height=self.height, spp=self.spp,
+                         renderer=self.renderer)
+
+    # -- transforms -------------------------------------------------------------
+    def _stmt_Identity(self):
+        self.state.ctm = tr.identity()
+
+    def _stmt_Translate(self):
+        x, y, z = self._numbers(3)
+        self.state.ctm = self.state.ctm @ tr.translate(x, y, z)
+
+    def _stmt_Scale(self):
+        x, y, z = self._numbers(3)
+        self.state.ctm = self.state.ctm @ tr.scale(x, y, z)
+
+    def _stmt_Rotate(self):
+        a, x, y, z = self._numbers(4)
+        self.state.ctm = self.state.ctm @ tr.rotate(a, (x, y, z))
+
+    def _stmt_LookAt(self):
+        v = self._numbers(9)
+        # pbrt: CTM *= world-to-camera = inverse(camera-to-world)
+        c2w = tr.look_at(v[0:3], v[3:6], v[6:9])
+        self.state.ctm = self.state.ctm @ np.linalg.inv(c2w)
+
+    def _stmt_Transform(self):
+        self._expect_lbracket()
+        v = self._numbers(16)
+        self._expect_rbracket()
+        # pbrt matrices are column-major in the file
+        self.state.ctm = np.asarray(v, np.float64).reshape(4, 4).T
+
+    def _stmt_ConcatTransform(self):
+        self._expect_lbracket()
+        v = self._numbers(16)
+        self._expect_rbracket()
+        self.state.ctm = self.state.ctm @ np.asarray(
+            v, np.float64).reshape(4, 4).T
+
+    def _expect_lbracket(self):
+        if self._peek() == "[":
+            self._next()
+
+    def _expect_rbracket(self):
+        if self._peek() == "]":
+            self._next()
+
+    # -- attribute / object state ----------------------------------------------
+    def _stmt_AttributeBegin(self):
+        self.state_stack.append(self.state.copy())
+
+    def _stmt_AttributeEnd(self):
+        self.state = self.state_stack.pop()
+
+    def _stmt_ReverseOrientation(self):
+        self.state.reverse_orientation = not self.state.reverse_orientation
+
+    def _stmt_ObjectBegin(self):
+        name = _unquote(self._next())
+        self._stmt_AttributeBegin()
+        self.in_object = name
+        self.object_recorder = self.builder.object_begin(name)
+
+    def _stmt_ObjectEnd(self):
+        self.in_object = None
+        self.object_recorder = None
+        self._stmt_AttributeEnd()
+
+    def _stmt_ObjectInstance(self):
+        name = _unquote(self._next())
+        self.builder.object_instance(name, self.state.ctm.copy())
+
+    # -- camera / film / renderer ------------------------------------------------
+    def _stmt_Camera(self):
+        kind = _unquote(self._next())
+        params = self._params()
+        if kind != "perspective":
+            warnings.warn(f"pbrt: camera {kind!r} unsupported; "
+                          "using perspective")
+        self.fov = float(self._get1(params, "fov", 90.0))
+        # camera-to-world = inverse of the CTM at the Camera statement
+        self.cam_to_world = np.linalg.inv(self.state.ctm)
+
+    def _stmt_Film(self):
+        self._next()  # film kind ("image")
+        params = self._params()
+        self.width = int(self._get1(params, "xresolution", 640))
+        self.height = int(self._get1(params, "yresolution", 480))
+
+    def _stmt_Sampler(self):
+        self._next()
+        params = self._params()
+        self.spp = int(self._get1(params, "pixelsamples", 1))
+
+    def _stmt_Renderer(self):
+        name = _unquote(self._next())
+        self._params()
+        # reference dispatch: "simple" → SimpleRenderer, anything else →
+        # PhotonMappingRenderer (cudarender.cpp:126-134)
+        self.renderer = "simple" if name == "simple" else "photonmapping"
+
+    def _stmt_Integrator(self):  # pbrt-v3 spelling; treat like Renderer
+        self._stmt_Renderer()
+
+    def _stmt_PixelFilter(self):
+        self._next()
+        self._params()
+
+    def _stmt_Accelerator(self):
+        self._next()
+        self._params()
+
+    # -- materials / lights -------------------------------------------------------
+    def _stmt_Material(self):
+        kind = _unquote(self._next())
+        params = self._params()
+        if kind == "matte":
+            self.state.material = self.builder.matte(
+                self._rgb(params, "Kd", (0.5, 0.5, 0.5)))
+        elif kind == "mirror":
+            self.state.material = self.builder.mirror(
+                self._rgb(params, "Kr", (0.9, 0.9, 0.9)))
+        elif kind == "glass":
+            eta = self._get1(params, "index", 1.5)
+            self.state.material = self.builder.glass(float(eta))
+        else:
+            # unknown materials collapse to matte Kd=0.5
+            # (cudamaterial.cpp:20, cudamaterial.h:29-31)
+            warnings.warn(f"pbrt: material {kind!r} unsupported; "
+                          "defaulting to matte")
+            self.state.material = self.builder.default_material()
+
+    def _stmt_Texture(self):
+        # name, type, class, params — the reference collapses textures to
+        # constants at setup (cudamaterial.cpp:31-43); we skip with a warning
+        self._next()
+        self._next()
+        self._next()
+        self._params()
+        warnings.warn("pbrt: Texture unsupported; ignored")
+
+    def _stmt_LightSource(self):
+        kind = _unquote(self._next())
+        params = self._params()
+        if kind == "point":
+            i = self._rgb(params, "I", (1.0, 1.0, 1.0))
+            frm = self._get(params, "from", [0.0, 0.0, 0.0])
+            p = tr.apply_point(self.state.ctm, np.asarray(frm, np.float64))
+            self.builder.point_light(p, i)
+        else:
+            warnings.warn(f"pbrt: light {kind!r} unsupported; ignored "
+                          "(reference supports point + disk-area only, "
+                          "cudalight.cpp:11-71)")
+
+    def _stmt_AreaLightSource(self):
+        kind = _unquote(self._next())
+        params = self._params()
+        if kind not in ("diffuse", "area"):
+            warnings.warn(f"pbrt: area light {kind!r} unsupported; ignored")
+            return
+        self.state.area_light = dict(
+            L=self._rgb(params, "L", (1.0, 1.0, 1.0)),
+            n_samples=int(self._get1(params, "nsamples", 1)),
+        )
+
+    # -- shapes ---------------------------------------------------------------------
+    def _mat(self):
+        if self.state.material is None:
+            self.state.material = self.builder.default_material()
+        return self.state.material
+
+    def _stmt_Shape(self):
+        kind = _unquote(self._next())
+        params = self._params()
+        sink = self.object_recorder if self.in_object else self.builder
+        ctm = self.state.ctm.copy()
+        al = self.state.area_light
+
+        if kind == "trianglemesh":
+            pts = np.asarray(self._get(params, "P", []),
+                             np.float64).reshape(-1, 3)
+            idx = np.asarray(self._get(params, "indices", []),
+                             np.int64).reshape(-1, 3)
+            normals = self._get(params, "N")
+            if normals is not None:
+                normals = np.asarray(normals, np.float64).reshape(-1, 3)
+            uvs = self._get(params, "uv") or self._get(params, "st")
+            if uvs is not None:
+                uvs = np.asarray(uvs, np.float64).reshape(-1, 2)
+            if al is not None:
+                warnings.warn("pbrt: area light on trianglemesh unsupported "
+                              "(reference: disk area lights only, "
+                              "cudalight.cpp:55); emitting geometry only")
+            sink.triangle_mesh(pts, idx, normals=normals, uvs=uvs,
+                               material=self._mat(), object_to_world=ctm)
+        elif kind == "sphere":
+            radius = float(self._get1(params, "radius", 1.0))
+            if al is not None:
+                warnings.warn("pbrt: area light on sphere unsupported "
+                              "(reference: disk area lights only); "
+                              "emitting geometry only")
+            sink.sphere(radius=radius, material=self._mat(),
+                        object_to_world=ctm)
+        elif kind == "disk":
+            radius = float(self._get1(params, "radius", 1.0))
+            height = float(self._get1(params, "height", 0.0))
+            inner = float(self._get1(params, "innerradius", 0.0))
+            phimax = float(self._get1(params, "phimax", 360.0))
+            if al is not None and not self.in_object:
+                self.builder.area_light_disk(
+                    al["L"], height=height, radius=radius,
+                    object_to_world=ctm, n_samples=al["n_samples"],
+                    material=self._mat(),
+                )
+            else:
+                sink.disk(height=height, radius=radius, inner_radius=inner,
+                          phi_max_deg=phimax, material=self._mat(),
+                          object_to_world=ctm)
+        else:
+            # unknown shape → warning, skipped (cudarender.cpp:141-144)
+            warnings.warn(f"pbrt: shape {kind!r} unsupported; skipped")
+
+
+def load_pbrt(path: str, use_bvh=None) -> PbrtScene:
+    """Parse a pbrt-v2 scene file → (Scene, camera, film options)."""
+    with open(path) as f:
+        return loads_pbrt(f.read(), use_bvh=use_bvh)
+
+
+def loads_pbrt(text: str, use_bvh=None) -> PbrtScene:
+    """Parse pbrt-v2 scene text → PbrtScene."""
+    return _Parser(text, use_bvh=use_bvh).parse()
