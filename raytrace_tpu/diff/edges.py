@@ -1,0 +1,179 @@
+"""Visibility (geometry) gradients via shadow-boundary edge sampling — the
+first slice of the BASELINE north star's "reparameterized edge sampling".
+
+Pathwise AD through the renderer sees no geometry gradients: visibility is a
+step function of occluder position, so d(image)/d(occluder θ) is a boundary
+integral that point-sampling misses (SURVEY.md §7 hard part 3). Following
+the boundary-integral formulation of differentiable rendering (Li et al.
+2018, "Differentiable Monte Carlo Ray Tracing through Edge Sampling" —
+re-derived here for the point-light shadow case, no code reused):
+
+    dI_pixel/dθ = ∮_{shadow boundary} ΔL(x) · (v(x)·n_s(x)) dl
+
+where the shadow boundary on a receiver is the projection of the occluder's
+silhouette edges from the light, ΔL is the radiance jump across it (the
+direct contribution of the light on the lit side), v = dx/dθ is the boundary
+velocity induced by the parameter, and n_s is the in-surface normal of the
+boundary curve oriented toward the shadow side.
+
+Scope of this slice (deliberate):
+  - point lights (the delta light makes the boundary a sharp curve);
+  - caller-supplied occluder edge list + edge velocity (silhouette
+    extraction for closed meshes layers on later — for a flat occluder the
+    silhouette IS its boundary edge loop);
+  - matte receivers (ΔL = kd/π · cosθ_l · I/r²).
+
+The estimator is validated against central differences of the full jittered
+render in tests/test_edges.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from raytrace_tpu.core import vec
+from raytrace_tpu.core.config import RenderConfig
+from raytrace_tpu.ops import intersect as isect_ops
+from raytrace_tpu.scene.camera import PerspectiveCamera
+from raytrace_tpu.scene.scene import Scene
+from raytrace_tpu.shading import material as mat_ops
+
+BIG = isect_ops.BIG
+
+
+def project_to_raster(camera: PerspectiveCamera, p: Array) -> Array:
+    """World points [N, 3] → raster coordinates [N, 2] (the inverse of the
+    camera's raster→camera→world ray chain, scene/camera.py)."""
+    c2w = camera.camera_to_world  # [3, 4] affine
+    r = c2w[:, :3]
+    t = c2w[:, 3]
+    p_cam = (p - t) @ r  # R^T (p - t): world → camera
+    c2r = jnp.linalg.inv(camera.raster_to_camera)
+    ph = jnp.concatenate([p_cam, jnp.ones_like(p_cam[:, :1])], axis=-1) @ c2r.T
+    return ph[:, :2] / ph[:, 3:4]
+
+
+@partial(jax.jit, static_argnames=("config", "samples_per_edge"))
+def shadow_boundary_image_grad(
+    scene: Scene,
+    camera: PerspectiveCamera,
+    config: RenderConfig,
+    edge_v0: Array,   # [E, 3] silhouette edge start points
+    edge_v1: Array,   # [E, 3] silhouette edge end points
+    edge_vel: Array,  # [3] d(edge point)/dθ (rigid translation of occluder)
+    light_index: int = 0,
+    samples_per_edge: int = 64,
+) -> Array:
+    """d(image)/dθ for an occluder translation, via shadow-boundary edge
+    sampling → [H, W, 3] (the derivative of each pixel's area-averaged
+    radiance). Deterministic: edges are sampled at stratified midpoints.
+    """
+    lp = scene.lights.o[light_index]  # point-light position
+    E = edge_v0.shape[0]
+    K = samples_per_edge
+    ts = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+
+    e = (edge_v0[:, None, :] * (1.0 - ts)[None, :, None]
+         + edge_v1[:, None, :] * ts[None, :, None]).reshape(E * K, 3)
+    edot = jnp.broadcast_to(
+        (edge_v1 - edge_v0)[:, None, :], (E, K, 3)).reshape(E * K, 3)
+    n = e.shape[0]
+
+    # ---- project each edge sample from the light onto the receiver --------
+    w = e - lp
+    t_e = vec.length(w)
+    w_hat = w / jnp.maximum(t_e, 1e-12)[:, None]
+    eps = jnp.float32(config.scene_epsilon)
+    hit = isect_ops.intersect(
+        scene, jnp.broadcast_to(lp, (n, 3)), w_hat,
+        t_e * (1.0 + 1e-4) + eps, jnp.full((n,), BIG),
+    )
+    x_b = hit.p
+    n_r = vec.normalize(hit.ns)
+
+    # ---- boundary velocity + curve direction on the receiver plane --------
+    # x_b(θ) = lp + τ(θ)·(e(θ) - lp) constrained to the receiver plane:
+    #   τ = n_r·(x_b - lp) / n_r·(e - lp)
+    #   dx_b/dθ = τ [u - (n_r·u)/(n_r·(e-lp)) (e-lp)]     (u = edge velocity)
+    # and the same with u → ė for the curve direction.
+    denom = vec.dot(n_r, e - lp)
+    safe_denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    tau = vec.dot(n_r, x_b - lp) / safe_denom
+    u = jnp.broadcast_to(edge_vel, (n, 3))
+    in_plane = lambda a: tau[:, None] * (
+        a - (vec.dot(n_r, a) / safe_denom)[:, None] * (e - lp)
+    )
+    v_b = in_plane(u)
+    m = in_plane(edot)
+    m_len = vec.length(m)
+    m_hat = m / jnp.maximum(m_len, 1e-12)[:, None]
+    n_c = vec.normalize(vec.cross(n_r, m_hat))  # in-plane curve normal
+
+    # ---- orient n_c toward the shadow side (probe both sides) -------------
+    delta = 1e-3 * jnp.maximum(t_e, 1.0)
+    probe = lambda x: isect_ops.occluded(
+        scene, x, lp - x,
+        jnp.full((n,), jnp.float32(config.shadow_epsilon)),
+        jnp.full((n,), 1.0 - jnp.float32(config.shadow_epsilon)),
+    )
+    sh_plus = probe(x_b + delta[:, None] * n_c)
+    sh_minus = probe(x_b - delta[:, None] * n_c)
+    is_boundary = sh_plus != sh_minus  # exactly one side in shadow
+    n_s = jnp.where(sh_plus[:, None], n_c, -n_c)  # points INTO the shadow
+
+    # ---- radiance jump across the boundary (lit-side direct term) ---------
+    wl = lp - x_b
+    r2 = jnp.maximum(vec.length_squared(wl), 1e-12)
+    wl_hat = wl / jnp.sqrt(r2)[:, None]
+    f = mat_ops.f(scene.materials, hit.mat, wl_hat, wl_hat)
+    cos_l = vec.absdot(n_r, wl_hat)
+    intensity = scene.lights.intensity[light_index]
+    dL = f * (cos_l / r2)[:, None] * intensity  # [n, 3]
+
+    # ---- move the integral to IMAGE space -----------------------------------
+    # Pixels average radiance over unit raster area, so the boundary
+    # integral must be taken in raster coordinates: push the curve tangent
+    # (m), the boundary velocity (v_b) and the shadow-side normal (n_s)
+    # through the projection Jacobian with exact JVPs.
+    proj = lambda p: project_to_raster(camera, p)
+    xy, jm = jax.jvp(proj, (x_b,), (m,))
+    _, jv = jax.jvp(proj, (x_b,), (v_b,))
+    _, jn = jax.jvp(proj, (x_b,), (n_s,))
+    jm_len = jnp.sqrt(jnp.maximum(jnp.sum(jm * jm, -1), 1e-20))
+    jm_hat = jm / jm_len[:, None]
+    # in-image unit normal of the raster curve, oriented toward the shadow
+    perp = jnp.stack([-jm_hat[:, 1], jm_hat[:, 0]], axis=-1)
+    sgn = jnp.sign(jnp.sum(perp * jn, axis=-1))
+    n_im = perp * sgn[:, None]
+
+    # lit region grows where the boundary moves INTO the shadow
+    speed_im = jnp.sum(jv * n_im, axis=-1)
+    scale = speed_im * jm_len / K  # dl_image = |J·m| dt, dt = 1/K
+    ok = hit.valid & is_boundary & (jnp.abs(denom) > 1e-9)
+    contrib = jnp.where(ok[:, None], dL * scale[:, None], 0.0)
+
+    # ---- splat into pixel derivative (pixel mean over unit raster area) ----
+    px = jnp.floor(xy[:, 0]).astype(jnp.int32)
+    py = jnp.floor(xy[:, 1]).astype(jnp.int32)
+    in_view = (
+        (px >= 0) & (px < config.width) & (py >= 0) & (py < config.height)
+    )
+    flat = jnp.clip(py, 0, config.height - 1) * config.width + jnp.clip(
+        px, 0, config.width - 1
+    )
+    contrib = jnp.where(in_view[:, None], contrib, 0.0)
+    dimg = jnp.zeros((config.height * config.width, 3), jnp.float32)
+    dimg = dimg.at[flat].add(contrib)
+    return dimg.reshape(config.height, config.width, 3)
+
+
+def quad_boundary_edges(corners) -> tuple[Array, Array]:
+    """The 4 boundary edges of a quad occluder (its silhouette w.r.t. any
+    light not in its plane). corners: [4, 3] in loop order."""
+    c = jnp.asarray(corners, jnp.float32)
+    v0 = c
+    v1 = jnp.roll(c, -1, axis=0)
+    return v0, v1

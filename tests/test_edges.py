@@ -1,0 +1,132 @@
+"""Visibility-gradient slice (diff/edges.py): the shadow-boundary edge
+estimator must match central differences of the full jittered render for an
+occluder translation — a gradient pathwise AD cannot see at all (BASELINE
+north star; SURVEY.md §7 hard part 3).
+
+Scene: a floor in view, a quad occluder OUTSIDE the camera frustum casting a
+shadow into view from a point light — so the image depends on the occluder
+position ONLY through the shadow boundary, and the whole FD gradient is the
+boundary term."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytrace_tpu.core.config import RenderConfig
+from raytrace_tpu.diff.edges import (
+    project_to_raster,
+    quad_boundary_edges,
+    shadow_boundary_image_grad,
+)
+from raytrace_tpu.renderers.simple import render_simple
+from raytrace_tpu.scene import transform as tr
+from raytrace_tpu.scene.builder import SceneBuilder
+from raytrace_tpu.scene.camera import PerspectiveCamera
+
+SIZE = 32
+SPP = 64
+KEY = jax.random.PRNGKey(17)
+
+OCC_Z = 3.0
+OCC_HALF = 0.4
+LIGHT = (4.0, 0.0, 6.0)
+
+
+def _occ_corners(theta: float):
+    cx = 1.6 + theta
+    return np.array([
+        [cx - OCC_HALF, -OCC_HALF, OCC_Z],
+        [cx + OCC_HALF, -OCC_HALF, OCC_Z],
+        [cx + OCC_HALF, OCC_HALF, OCC_Z],
+        [cx - OCC_HALF, OCC_HALF, OCC_Z],
+    ])
+
+
+def _scene(theta: float):
+    b = SceneBuilder()
+    floor = b.matte((0.7, 0.7, 0.7))
+    occ = b.matte((0.3, 0.3, 0.3))
+    v, i = np.array([[-8, -8, 0], [8, -8, 0], [8, 8, 0], [-8, 8, 0]],
+                    np.float64), np.array([[0, 1, 2], [0, 2, 3]])
+    b.triangle_mesh(v, i, material=floor)
+    c = _occ_corners(theta)
+    b.triangle_mesh(c, np.array([[0, 1, 2], [0, 2, 3]]), material=occ)
+    b.point_light(LIGHT, (120.0, 120.0, 120.0))
+    return b.build()
+
+
+def _camera():
+    # straight down from z=6, framing ~±1.5 at the floor: the occluder
+    # (x ≥ 1.2 at z=3, where the frustum half-width is ~0.75) stays out of
+    # view, so only its SHADOW is visible
+    c2w = tr.look_at((0.0, 0.0, 6.0), (0.0, 1e-6, 0.0), (0.0, 1.0, 0.0))
+    return PerspectiveCamera.make(c2w, 2 * np.degrees(np.arctan(1.5 / 6.0)),
+                                  SIZE, SIZE)
+
+
+def test_projection_roundtrip():
+    cam = _camera()
+    config = RenderConfig(width=SIZE, height=SIZE)
+    # points on the floor at known raster positions: shoot camera rays and
+    # re-project their hits
+    from raytrace_tpu.scene.camera import generate_rays
+
+    xy = jnp.asarray([[4.5, 7.5], [20.25, 3.75], [31.0, 31.0]], jnp.float32)
+    rays = generate_rays(cam, xy, jnp.full((3, 2), 0.5), 1)
+    t = -rays.o[:, 2] / rays.d[:, 2]  # intersect z=0 plane
+    p = rays.o + rays.d * t[:, None]
+    xy_back = project_to_raster(cam, p)
+    np.testing.assert_allclose(np.asarray(xy_back), np.asarray(xy),
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_shadow_boundary_gradient_matches_fd():
+    cam = _camera()
+    config = RenderConfig(width=SIZE, height=SIZE, spp=SPP,
+                          scene_epsilon=1e-3)
+
+    # a fixed random pixel weighting makes the scalar loss sensitive to the
+    # shadow's SHAPE, not just its area
+    wmat = jax.random.uniform(jax.random.PRNGKey(3), (SIZE, SIZE, 3))
+
+    def loss_at(theta):
+        img = render_simple(_scene(theta), cam, config, KEY, jitter=True)
+        return float(jnp.mean(img * wmat))
+
+    h = 0.06
+    fd = (loss_at(+h) - loss_at(-h)) / (2 * h)
+
+    scene0 = _scene(0.0)
+    e0, e1 = quad_boundary_edges(_occ_corners(0.0))
+    dimg = shadow_boundary_image_grad(
+        scene0, cam, config, e0, e1, jnp.asarray([1.0, 0.0, 0.0]),
+        samples_per_edge=256,
+    )
+    ad = float(jnp.mean(dimg * wmat))
+
+    assert abs(fd) > 1e-5, "shadow must actually move the loss"
+    assert np.sign(fd) == np.sign(ad), (fd, ad)
+    assert abs(fd - ad) <= 0.25 * max(abs(fd), abs(ad)), (fd, ad)
+
+
+def test_boundary_gradient_zero_when_shadow_out_of_view():
+    """Shift the whole configuration so the shadow misses the frustum: the
+    estimator must return (near) zero."""
+    cam = _camera()
+    config = RenderConfig(width=SIZE, height=SIZE, spp=1, scene_epsilon=1e-3)
+    # occluder far off: shadow lands outside the framed floor region
+    corners = _occ_corners(0.0) + np.array([[-6.0, 0.0, 0.0]])
+    b = SceneBuilder()
+    b.triangle_mesh(np.array([[-8, -8, 0], [8, -8, 0], [8, 8, 0],
+                              [-8, 8, 0]], np.float64),
+                    np.array([[0, 1, 2], [0, 2, 3]]),
+                    material=b.matte((0.7, 0.7, 0.7)))
+    b.triangle_mesh(corners, np.array([[0, 1, 2], [0, 2, 3]]),
+                    material=b.matte((0.3, 0.3, 0.3)))
+    b.point_light(LIGHT, (120.0, 120.0, 120.0))
+    scene = b.build()
+    e0, e1 = quad_boundary_edges(corners)
+    dimg = shadow_boundary_image_grad(
+        scene, cam, config, e0, e1, jnp.asarray([1.0, 0.0, 0.0]),
+        samples_per_edge=64,
+    )
+    assert float(jnp.abs(dimg).sum()) < 1e-4
