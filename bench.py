@@ -1,19 +1,23 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
 Headline: camera rays/sec through the full photon-mapping forward pipeline
-(camera pass + direct lighting + photon trace + grid build + gather +
+(camera pass + direct lighting + photon trace + grid-aware Pallas gather +
 combine) on one chip — the reference's whole 4-pass render
-(photonmappingrenderer.cpp:31-45) expressed as work/second. photons/sec for
-the photon-trace stage is reported in the same line.
+(photonmappingrenderer.cpp:31-45) expressed as work/second. The same line
+carries photons/s, a 1M-triangle BVH intersection benchmark
+(triangle_field), and — when more than one device is visible — the sharded
+scaling-efficiency figure (BASELINE north star).
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio against RAYS_PER_S_R1, the first working throughput recorded in round
-1 — it tracks our own progress round-over-round.
+ratio against RAYS_PER_S_R1 = the throughput recorded by the driver in
+round 1 (BENCH_r01.json: 114,148 rays/s at 512x512/262k photon paths) — it
+tracks round-over-round progress of this framework itself.
 
 Compile times on the shared TPU compile service are highly variable, so the
 harness tries configs from largest to smallest in subprocesses with a
 per-attempt wall-clock cap and reports the largest one that finished.
-Run with `--size N --paths P` to force a single config in-process.
+Run with `--size N --paths P` for a single in-process headline config,
+`--tris` for the triangle-field benchmark only.
 """
 from __future__ import annotations
 
@@ -24,12 +28,13 @@ import subprocess
 import sys
 import time
 
-# Round-1 anchor for vs_baseline (first measured working throughput).
-RAYS_PER_S_R1 = 2.0e6
+# Round-1 measured throughput (BENCH_r01.json), the vs_baseline anchor.
+RAYS_PER_S_R1 = 114148.25
 
-# (size, photon_paths) attempts, largest first.
+# (size, photon_paths) attempts for the headline, largest first.
 ATTEMPTS = [(512, 1 << 18), (256, 1 << 16), (128, 1 << 14), (64, 1 << 12)]
 ATTEMPT_TIMEOUT_S = 1500
+TRIS_TIMEOUT_S = 1200
 
 
 def run_once(size: int, photon_paths: int) -> dict:
@@ -79,37 +84,127 @@ def run_once(size: int, photon_paths: int) -> dict:
     }
 
 
+def run_triangle_field(n_tris: int = 1 << 20, size: int = 512) -> dict:
+    """1M-triangle BVH benchmark (BASELINE config[4] scale axis): direct-
+    light render through the stackless skip-link traversal — camera rays +
+    one shadow ray each."""
+    import jax
+
+    from raytrace_tpu.core.config import RenderConfig
+    from raytrace_tpu.renderers.simple import render_simple
+    from raytrace_tpu.scene import presets
+
+    t0 = time.perf_counter()
+    scene, camera = presets.triangle_field(n_triangles=n_tris, size=size)
+    build_s = time.perf_counter() - t0
+    config = RenderConfig(width=size, height=size, spp=1, scene_epsilon=1e-3)
+
+    t0 = time.perf_counter()
+    img = render_simple(scene, camera, config, jax.random.PRNGKey(0))
+    img.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        img = render_simple(scene, camera, config, jax.random.PRNGKey(i + 1))
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+    rays = size * size  # camera rays; each also casts ~1 shadow ray
+    return {
+        "triangle_field_rays_per_s": rays / dt,
+        "triangle_field_frame_s": dt,
+        "triangle_field_tris": int(scene.tris.count),
+        "triangle_field_build_s": build_s,
+        "triangle_field_compile_s": compile_s,
+    }
+
+
+def run_scaling() -> dict:
+    """Sharded scaling efficiency when >1 device is visible."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        return {}
+    from raytrace_tpu.core.config import RenderConfig
+    from raytrace_tpu.parallel import multihost
+    from raytrace_tpu.scene import presets
+
+    n = len(jax.devices())
+    size = 256
+    scene, camera = presets.cornell_box(size=size, ball="glass")
+    config = RenderConfig(
+        width=size, height=size, spp=1, scene_epsilon=1e-3,
+        photon_paths=1 << 16, photon_passes=1, max_photon_bounces=8,
+    )
+    rep = multihost.scaling_report(
+        scene, camera, config, jax.random.PRNGKey(0), device_counts=(1, n))
+    return {
+        "scaling_devices": n,
+        "scaling_efficiency": rep.get("efficiency"),
+        "scaling_rays_per_s": {str(k): v for k, v in rep.items()
+                               if isinstance(k, int)},
+    }
+
+
+def _sub(args: list[str], timeout: int):
+    """Run this file in a subprocess, return its last JSON line (or None)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + args,
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if out.returncode == 0:
+            for line in reversed(out.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    return json.loads(line)
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=0)
     ap.add_argument("--paths", type=int, default=0)
+    ap.add_argument("--tris", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
     args = ap.parse_args()
 
+    if args.tris:
+        print(json.dumps(run_triangle_field()))
+        return
+    if args.scaling:
+        print(json.dumps(run_scaling()))
+        return
     if args.size:
         print(json.dumps(run_once(args.size, args.paths or (args.size ** 2))))
         return
 
+    result = None
     for size, paths in ATTEMPTS:
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--size", str(size), "--paths", str(paths)],
-                capture_output=True, text=True, timeout=ATTEMPT_TIMEOUT_S,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            if out.returncode == 0:
-                for line in reversed(out.stdout.strip().splitlines()):
-                    if line.startswith("{"):
-                        print(line)
-                        return
-        except subprocess.TimeoutExpired:
-            print(f"# bench attempt {size}x{size} timed out; trying smaller",
-                  file=sys.stderr)
-    print(json.dumps({
-        "metric": "camera_rays_per_sec_full_ppm_pipeline",
-        "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
-        "extra": {"error": "all attempts failed"},
-    }))
+        result = _sub(["--size", str(size), "--paths", str(paths)],
+                      ATTEMPT_TIMEOUT_S)
+        if result is not None:
+            break
+        print(f"# bench attempt {size}x{size} failed/timed out; trying "
+              "smaller", file=sys.stderr)
+    if result is None:
+        print(json.dumps({
+            "metric": "camera_rays_per_sec_full_ppm_pipeline",
+            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+            "extra": {"error": "all attempts failed"},
+        }))
+        return
+
+    tf = _sub(["--tris"], TRIS_TIMEOUT_S)
+    if tf:
+        result["extra"].update(tf)
+    sc = _sub(["--scaling"], TRIS_TIMEOUT_S)
+    if sc:
+        result["extra"].update(sc)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

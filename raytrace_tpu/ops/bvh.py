@@ -34,16 +34,54 @@ BIG = 1e30
 @flax.struct.dataclass
 class FlatBVH:
     """pbrt-style flattened BVH (LinearBVHNode layout): depth-first order,
-    left child at node+1, right child explicit."""
+    left child at node+1, right child explicit — augmented with skip links
+    ("ropes") so traversal needs NO per-ray stack: on a missed/finished
+    subtree the ray jumps straight to `skip[node]` (the next node in DFS
+    order outside the subtree). Stackless traversal is what makes the
+    wavefront loop TPU-viable — a per-ray stack costs two scatter updates
+    per iteration over a [rays, depth] array, which measured ~1000x slower.
+
+    `packed` carries the whole per-node record as one [Nn, 8] f32 row
+    (bmin, bmax, bitcast skip, bitcast first|count<<28) so each traversal
+    step issues a single gather instead of five."""
     bmin: Array  # [Nn, 3]
     bmax: Array  # [Nn, 3]
     right: Array  # [Nn] int32 right-child node index (interior nodes)
     first: Array  # [Nn] int32 first primitive (leaf nodes; prims contiguous)
     count: Array  # [Nn] int32 primitive count (0 = interior)
     axis: Array  # [Nn] int32 split axis (interior nodes)
+    skip: Array  # [Nn] int32 DFS skip link (== Nn for "done")
+    packed: Array  # [Nn, 8] f32 fused node record (see above)
     # static metadata (not traced): sizes the traversal stack / leaf loop
     max_depth: int = flax.struct.field(pytree_node=False, default=32)
     leaf_size: int = flax.struct.field(pytree_node=False, default=4)
+
+
+def compute_skip_links(right: np.ndarray, count: np.ndarray) -> np.ndarray:
+    """Skip link per node: the next node in DFS pre-order NOT in the node's
+    subtree (n_nodes for the last). Derivable in one forward pass because
+    the layout is pre-order: when an interior node is visited its own skip
+    is already known, and it hands skip[left]=right-child,
+    skip[right]=its own skip."""
+    n = right.shape[0]
+    skip = np.empty(n, np.int32)
+    skip[0] = n
+    interior = count == 0
+    for i in range(n):
+        if interior[i]:
+            skip[i + 1] = right[i]
+            skip[right[i]] = skip[i]
+    return skip
+
+
+def _pack_nodes(bmin, bmax, skip, first, count) -> np.ndarray:
+    packed = np.empty((bmin.shape[0], 8), np.float32)
+    packed[:, 0:3] = bmin
+    packed[:, 3:6] = bmax
+    packed[:, 6] = skip.astype(np.int32).view(np.float32)
+    fc = first.astype(np.uint32) | (count.astype(np.uint32) << 28)
+    packed[:, 7] = fc.view(np.float32)
+    return packed
 
 
 def build_bvh(
@@ -133,13 +171,21 @@ def build_bvh_native(
 
 
 def bvh_from_arrays(arrays: dict) -> FlatBVH:
+    right = np.asarray(arrays["right"], np.int32)
+    count = np.asarray(arrays["count"], np.int32)
+    first = np.asarray(arrays["first"], np.int32)
+    bmin = np.asarray(arrays["bmin"], np.float32)
+    bmax = np.asarray(arrays["bmax"], np.float32)
+    skip = compute_skip_links(right, count)
     return FlatBVH(
-        bmin=jnp.asarray(arrays["bmin"]),
-        bmax=jnp.asarray(arrays["bmax"]),
-        right=jnp.asarray(arrays["right"]),
-        first=jnp.asarray(arrays["first"]),
-        count=jnp.asarray(arrays["count"]),
+        bmin=jnp.asarray(bmin),
+        bmax=jnp.asarray(bmax),
+        right=jnp.asarray(right),
+        first=jnp.asarray(first),
+        count=jnp.asarray(count),
         axis=jnp.asarray(arrays["axis"]),
+        skip=jnp.asarray(skip),
+        packed=jnp.asarray(_pack_nodes(bmin, bmax, skip, first, count)),
         max_depth=int(arrays["max_depth"]),
         leaf_size=int(arrays["leaf_size"]),
     )
@@ -174,8 +220,22 @@ def _tri_hit_leaf(o, d, v0, v1, v2, tmin, tlimit):
     return jnp.where(ok, t, BIG)
 
 
+# rays are traversed in chunks so finished chunks retire early instead of
+# running lockstep with the globally slowest ray (lax.map serializes chunks,
+# each with its own while_loop trip count)
+TRAVERSE_CHUNK = 1 << 15
+
+
 def _traverse(bvh: FlatBVH, tris, o, d, tmin, tmax, any_hit: bool):
-    """Masked wavefront traversal → (best_t [N], best_idx [N]).
+    """Stackless wavefront traversal over the skip-linked BVH →
+    (best_t [N], best_idx [N]).
+
+    Every ray walks the DFS order: descend (node+1) when the box is hit and
+    the node is interior, otherwise jump the rope (skip[node]); a ray
+    retires when its node index reaches n_nodes. One gather of the packed
+    node record + one leaf-triangle gather per step, no scatters — the
+    previous per-ray-stack version spent its time on two [rays, depth]
+    scatter updates per step.
 
     All inputs pass through stop_gradient; gradients are restored by
     re-intersecting the winner (intersect_triangles_bvh).
@@ -187,49 +247,67 @@ def _traverse(bvh: FlatBVH, tris, o, d, tmin, tmax, any_hit: bool):
     tris = jax.lax.stop_gradient(tris)
 
     n = o.shape[0]
-    L = bvh.leaf_size
-    stack_depth = bvh.max_depth + 2
-    rows = jnp.arange(n)
-    inv_d = 1.0 / jnp.where(d == 0.0, 1e-30, d)
-    neg = (d < 0.0)  # [N, 3] per-axis direction sign for near/far ordering
-    leaf_lane = jnp.arange(L, dtype=jnp.int32)
+    # triangle vertices fused to one [T, 9] row → a single leaf gather
+    tv = jnp.concatenate([tris.v0, tris.v1, tris.v2], axis=-1)
 
-    stack = jnp.zeros((n, stack_depth), jnp.int32)  # root (0) pre-pushed
-    sp = jnp.ones((n,), jnp.int32)
+    def run(args):
+        return _traverse_chunk(bvh, tv, *args, any_hit=any_hit)
+
+    if n > TRAVERSE_CHUNK and n % TRAVERSE_CHUNK == 0:
+        c = TRAVERSE_CHUNK
+        resh = lambda x: x.reshape(n // c, c, *x.shape[1:])
+        best_t, best_i = jax.lax.map(
+            run, (resh(o), resh(d), resh(tmin), resh(tmax))
+        )
+        return best_t.reshape(n), best_i.reshape(n)
+    return run((o, d, tmin, tmax))
+
+
+def _traverse_chunk(bvh: FlatBVH, tv, o, d, tmin, tmax, *, any_hit: bool):
+    n = o.shape[0]
+    L = bvh.leaf_size
+    n_nodes = bvh.packed.shape[0]
+    rows = jnp.arange(n)
+    leaf_lane = jnp.arange(L, dtype=jnp.int32)
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-30, d)
+
+    node = jnp.zeros((n,), jnp.int32)
     best_t = jnp.minimum(jnp.full((n,), BIG, jnp.float32), tmax)
     best_i = jnp.zeros((n,), jnp.int32)
 
     def cond(state):
-        sp, *_ = state
-        return jnp.any(sp > 0)
+        node, *_ = state
+        return jnp.any(node < n_nodes)
 
     def body(state):
-        sp, stack, best_t, best_i = state
-        active = sp > 0
-        node = jnp.where(active, stack[rows, jnp.maximum(sp - 1, 0)], 0)
-        sp = jnp.where(active, sp - 1, sp)
+        node, best_t, best_i = state
+        active = node < n_nodes
+        nd = jnp.minimum(node, n_nodes - 1)
+        rec = bvh.packed[nd]  # [N, 8] — ONE gather for the whole node
+        bmin = rec[:, 0:3]
+        bmax = rec[:, 3:6]
+        skip = jax.lax.bitcast_convert_type(rec[:, 6], jnp.int32)
+        fc = jax.lax.bitcast_convert_type(rec[:, 7], jnp.uint32)
+        first = (fc & jnp.uint32((1 << 28) - 1)).astype(jnp.int32)
+        cnt = (fc >> 28).astype(jnp.int32)
 
-        bmin = bvh.bmin[node]  # [N, 3]
-        bmax = bvh.bmax[node]
         t0 = (bmin - o) * inv_d
         t1 = (bmax - o) * inv_d
         tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
         tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
         box_hit = active & (tnear <= tfar) & (tfar > tmin) & (tnear < best_t)
 
-        cnt = bvh.count[node]
         is_leaf = cnt > 0
         do_leaf = box_hit & is_leaf
-        do_push = box_hit & ~is_leaf
 
-        # --- leaf: test up to L contiguous primitives -----------------------
-        first = bvh.first[node]
+        # --- leaf: test up to L contiguous primitives (one fused gather) ----
         pidx = first[:, None] + leaf_lane[None, :]  # [N, L]
-        pidx = jnp.clip(pidx, 0, tris.v0.shape[0] - 1)
-        lane_ok = leaf_lane[None, :] < cnt[:, None]
+        pidx = jnp.clip(pidx, 0, tv.shape[0] - 1)
+        tri = tv[pidx]  # [N, L, 9]
         t = _tri_hit_leaf(
-            o, d, tris.v0[pidx], tris.v1[pidx], tris.v2[pidx], tmin, best_t
+            o, d, tri[..., 0:3], tri[..., 3:6], tri[..., 6:9], tmin, best_t
         )
+        lane_ok = leaf_lane[None, :] < cnt[:, None]
         t = jnp.where(lane_ok & do_leaf[:, None], t, BIG)
         j = jnp.argmin(t, axis=1)
         tj = t[rows, j]
@@ -237,26 +315,18 @@ def _traverse(bvh: FlatBVH, tris, o, d, tmin, tmax, any_hit: bool):
         best_i = jnp.where(better, pidx[rows, j], best_i)
         best_t = jnp.where(better, tj, best_t)
 
-        # --- interior: push far then near (near popped first) ---------------
-        near_is_left = ~neg[rows, bvh.axis[node]]
-        left = node + 1
-        right = bvh.right[node]
-        near = jnp.where(near_is_left, left, right)
-        far = jnp.where(near_is_left, right, left)
-        s0 = jnp.minimum(sp, stack_depth - 1)
-        s1 = jnp.minimum(sp + 1, stack_depth - 1)
-        stack = stack.at[rows, s0].set(jnp.where(do_push, far, stack[rows, s0]))
-        stack = stack.at[rows, s1].set(jnp.where(do_push, near, stack[rows, s1]))
-        sp = jnp.where(do_push, sp + 2, sp)
-
+        # --- advance: descend or jump the rope ------------------------------
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, nd + 1, skip)
+        node = jnp.where(active, nxt, node)
         if any_hit:
             # shadow rays stop at the first hit (reference shadow_any_hit
             # terminates the ray, raytracing.cu:143-147)
-            sp = jnp.where(best_t < tmax, 0, sp)
-        return sp, stack, best_t, best_i
+            node = jnp.where(best_t < tmax, n_nodes, node)
+        return node, best_t, best_i
 
-    _, _, best_t, best_i = jax.lax.while_loop(
-        cond, body, (sp, stack, best_t, best_i)
+    _, best_t, best_i = jax.lax.while_loop(
+        cond, body, (node, best_t, best_i)
     )
     return best_t, best_i
 

@@ -380,6 +380,7 @@ def render_photon_progressive(
     jitter: bool = True,
     checkpoint_path: str | None = None,
     save_every: int = 1,
+    verbose: bool = False,
 ):
     """Wave-by-wave progressive render with optional checkpoint/resume
     (SURVEY.md §5.4 — the reference's PPM state persists only in device
@@ -404,7 +405,24 @@ def render_photon_progressive(
     if checkpoint_path and os.path.exists(checkpoint_path):
         state, start, _, _ = ckpt.load_progressive(checkpoint_path)
     for p in range(start, config.photon_passes):
-        state, _ = _ppm_wave(scene, rec, state, k_photon, jnp.int32(p), config)
+        from raytrace_tpu.utils import metrics
+
+        with metrics.Throughput() as tp:
+            state, info = _ppm_wave(
+                scene, rec, state, k_photon, jnp.int32(p), config
+            )
+            jax.block_until_ready(state.flux)
+        if verbose:
+            # per-pass structured log (the reference logs its valid-photon
+            # count per pass, photonmappingrenderer.cpp:164)
+            metrics.log_pass(
+                "photon_wave", wave=p,
+                valid_photons=int(info["valid_photons"]),
+                photons_per_s=f"{tp.rate(config.photon_paths):.3e}",
+                mean_radius2=float(
+                    jnp.mean(jnp.where(rec.hit, state.radius2, 0.0))
+                ),
+            )
         done = p + 1
         if checkpoint_path and save_every and (
             done % save_every == 0 or done == config.photon_passes

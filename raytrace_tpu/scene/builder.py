@@ -238,26 +238,23 @@ class SceneBuilder:
             eta=jnp.asarray(np.asarray(self._mat_eta or [1.0], _F32)),
         )
         lights = self._build_lights()
-        tris = self._build_tris()
+        # triangle staging stays in NUMPY until the very end: premature
+        # jnp.asarray round-trips megabytes through the device (the axon TPU
+        # is behind a network tunnel — a 1M-tri build went 400s → ~2s once
+        # the BVH reorder stopped bouncing arrays off the device)
+        tris_np = self._build_tris_np()
         bvh_tree = None
-        n_tris = int(tris.v0.shape[0])
+        n_tris = int(tris_np["v0"].shape[0])
         if use_bvh or (use_bvh is None and n_tris >= bvh_threshold):
             from raytrace_tpu.ops import bvh as bvh_ops
 
             arrays, perm = bvh_ops.build_bvh_native(
-                np.asarray(tris.v0), np.asarray(tris.v1), np.asarray(tris.v2),
+                tris_np["v0"], tris_np["v1"], tris_np["v2"],
                 leaf_size=bvh_leaf_size,
             )
-            reorder = lambda a: jnp.asarray(np.asarray(a)[perm])
-            tris = Triangles(
-                v0=reorder(tris.v0), v1=reorder(tris.v1), v2=reorder(tris.v2),
-                n0=reorder(tris.n0), n1=reorder(tris.n1), n2=reorder(tris.n2),
-                uv0=reorder(tris.uv0), uv1=reorder(tris.uv1),
-                uv2=reorder(tris.uv2),
-                has_normals=reorder(tris.has_normals),
-                mat=reorder(tris.mat), light=reorder(tris.light),
-            )
+            tris_np = {k: v[perm] for k, v in tris_np.items()}
             bvh_tree = bvh_ops.bvh_from_arrays(arrays)
+        tris = Triangles(**{k: jnp.asarray(v) for k, v in tris_np.items()})
         return Scene(
             tris=tris,
             spheres=self._build_spheres(),
@@ -267,9 +264,15 @@ class SceneBuilder:
             bvh=bvh_tree,
         )
 
-    def _build_tris(self) -> Triangles:
+    def _build_tris_np(self) -> dict:
+        """Triangle SoA as numpy arrays (field name → array, matching the
+        Triangles dataclass)."""
         if not self._tris:
-            return empty_triangles()
+            t = empty_triangles()
+            return {k: np.asarray(getattr(t, k))
+                    for k in ("v0", "v1", "v2", "n0", "n1", "n2",
+                              "uv0", "uv1", "uv2", "has_normals",
+                              "mat", "light")}
         v0s, v1s, v2s, n0s, n1s, n2s = [], [], [], [], [], []
         uv0s, uv1s, uv2s, hn, mats, lgs = [], [], [], [], [], []
         default_uv = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
@@ -296,14 +299,14 @@ class SceneBuilder:
                 uv2s.append(np.tile(default_uv[2], (len(idx), 1)))
             mats.append(np.full(len(idx), rec["mat"], np.int32))
             lgs.append(np.full(len(idx), rec["light"], np.int32))
-        cat = lambda xs: jnp.asarray(np.concatenate(xs).astype(_F32))
-        return Triangles(
+        cat = lambda xs: np.concatenate(xs).astype(_F32)
+        return dict(
             v0=cat(v0s), v1=cat(v1s), v2=cat(v2s),
             n0=cat(n0s), n1=cat(n1s), n2=cat(n2s),
             uv0=cat(uv0s), uv1=cat(uv1s), uv2=cat(uv2s),
-            has_normals=jnp.asarray(np.concatenate(hn)),
-            mat=jnp.asarray(np.concatenate(mats)),
-            light=jnp.asarray(np.concatenate(lgs)),
+            has_normals=np.concatenate(hn),
+            mat=np.concatenate(mats),
+            light=np.concatenate(lgs),
         )
 
     def _build_spheres(self) -> Spheres:
