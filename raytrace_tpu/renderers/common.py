@@ -54,6 +54,11 @@ class CameraRecords:
     mat: Array  # [N] int32
     light: Array  # [N] int32
     atten: Array  # [N, 3]
+    # pixel footprint radius at the hit, from the camera ray differentials
+    # (reference generates CudaRayDifferential but never consumes rx/ry,
+    # common.cu.h:7-14; here they seed per-pixel initial PPM radii — what
+    # pbrt's SPPM does). 0 when differentials weren't supplied.
+    footprint: Array  # [N]
 
     @property
     def hit(self) -> Array:
@@ -61,10 +66,15 @@ class CameraRecords:
 
 
 def camera_pass(
-    scene: Scene, o: Array, d: Array, config: RenderConfig
+    scene: Scene, o: Array, d: Array, config: RenderConfig, rays=None
 ) -> CameraRecords:
     """Trace camera rays, following specular chains up to the cap
-    (reference: raytracing.cu:87-128)."""
+    (reference: raytracing.cu:87-128).
+
+    rays: optional RayDifferentials for the INITIAL segment; when given, the
+    pixel footprint radius is recorded at the first hit (differentials are
+    not propagated through specular chains — the footprint is a radius
+    seed, not texture filtering)."""
     n = o.shape[0]
     eps = jnp.float32(config.scene_epsilon)
 
@@ -76,6 +86,7 @@ def camera_pass(
             mat=jnp.full((n,), -1, jnp.int32),
             light=jnp.full((n,), -1, jnp.int32),
             atten=jnp.ones((n, 3), jnp.float32),
+            footprint=jnp.zeros((n,), jnp.float32),
         )
 
     def cond(state):
@@ -91,7 +102,19 @@ def camera_pass(
         diff_hit = active & hit.valid & ~spec
         missed = active & ~hit.valid
 
+        if rays is not None:
+            # footprint at distance t along the PRIMARY ray: half the sum of
+            # the rx/ry offset magnitudes at the hit plane (valid on the
+            # first segment; kept frozen through specular bounces)
+            p_rx = rays.rx_o + rays.rx_d * hit.t[:, None]
+            p_ry = rays.ry_o + rays.ry_d * hit.t[:, None]
+            fp = 0.5 * (vec.length(p_rx - hit.p) + vec.length(p_ry - hit.p))
+            fp = jnp.where(depth == 0, fp, 0.0)
+        else:
+            fp = jnp.zeros((n,), jnp.float32)
+
         w = lambda m, a, b: jnp.where(m[..., None] if a.ndim == 2 else m, a, b)
+        first_hit = (active & hit.valid) & (rec.footprint == 0.0)
         rec = CameraRecords(
             status=jnp.where(diff_hit, 0, jnp.where(missed, 1, rec.status)),
             p=w(diff_hit, hit.p, rec.p),
@@ -103,6 +126,7 @@ def camera_pass(
             mat=jnp.where(diff_hit, hit.mat, rec.mat),
             light=jnp.where(diff_hit, hit.light, rec.light),
             atten=rec.atten,
+            footprint=jnp.where(first_hit, fp, rec.footprint),
         )
 
         thr, wi = mat_ops.specular(

@@ -244,9 +244,11 @@ class SceneBuilder:
         # the BVH reorder stopped bouncing arrays off the device)
         tris_np = self._build_tris_np()
         bvh_tree = None
+        cluster_set = None
         n_tris = int(tris_np["v0"].shape[0])
         if use_bvh or (use_bvh is None and n_tris >= bvh_threshold):
             from raytrace_tpu.ops import bvh as bvh_ops
+            from raytrace_tpu.ops import cluster_intersect as ci
 
             arrays, perm = bvh_ops.build_bvh_native(
                 tris_np["v0"], tris_np["v1"], tris_np["v2"],
@@ -254,6 +256,11 @@ class SceneBuilder:
             )
             tris_np = {k: v[perm] for k, v in tris_np.items()}
             bvh_tree = bvh_ops.bvh_from_arrays(arrays)
+            # cluster structure shares the BVH-leaf (spatially coherent)
+            # triangle order; the TPU intersector prefers it
+            cluster_set = ci.build_clusters(
+                tris_np["v0"], tris_np["v1"], tris_np["v2"]
+            )
         tris = Triangles(**{k: jnp.asarray(v) for k, v in tris_np.items()})
         return Scene(
             tris=tris,
@@ -262,6 +269,7 @@ class SceneBuilder:
             materials=materials,
             lights=lights,
             bvh=bvh_tree,
+            clusters=cluster_set,
         )
 
     def _build_tris_np(self) -> dict:

@@ -125,6 +125,10 @@ class Scene:
     # TPU-native stand-in for the reference's OptiX "Sbvh" acceleration
     # (cudarender.cpp:44-50). None = brute force (small scenes).
     bvh: object = None
+    # Cluster-binned structure (ops/cluster_intersect.py) built from the same
+    # BVH-leaf triangle order; the TPU path prefers it (gather-free Pallas
+    # culling + block-sparse intersection), the CPU path uses the BVH.
+    clusters: object = None
 
     def with_materials(self, materials: Materials) -> "Scene":
         return self.replace(materials=materials)
