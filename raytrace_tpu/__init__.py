@@ -18,4 +18,32 @@ Layer map (mirrors SURVEY.md §1, reimagined):
 
 __version__ = "0.2.0"
 
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (measured on this stack: a 450 s cold
+    remote compile becomes ~1 s on the next process). Opt-out with
+    RAYTRACE_TPU_NO_COMPILE_CACHE=1; an explicit JAX_COMPILATION_CACHE_DIR or
+    prior jax.config setting wins."""
+    import os
+
+    if os.environ.get("RAYTRACE_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is not None:
+        return
+    path = os.path.expanduser("~/.cache/jax_raytrace")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_compile_cache()
+
 from raytrace_tpu.scene.pbrt import load_pbrt, loads_pbrt  # noqa: F401,E402

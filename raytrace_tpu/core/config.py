@@ -57,6 +57,20 @@ class RenderConfig:
     # -- progressive gathering --------------------------------------------
     initial_radius2: float = 4.0      # per-pixel starting search radius²
     ppm_alpha: float = 0.7            # Hachisuka radius-shrink alpha
+    footprint_radius_scale: float = 0.0  # >0: seed each pixel's starting
+                                      # radius from its camera-ray
+                                      # differential footprint (SPPM-style,
+                                      # radius = scale·footprint, clamped to
+                                      # [min_radius2, initial_radius2]).
+                                      # 0 = reference parity: every pixel
+                                      # starts at initial_radius2
+                                      # (raytracing.cu:123). Footprint radii
+                                      # sharpen the render AND collapse the
+                                      # gather cost at high resolution (the
+                                      # global radius² = 4 makes every
+                                      # query scan the whole photon map in
+                                      # scene-sized boxes)
+    min_radius2: float = 1e-10        # floor for footprint-seeded radii
 
     # -- photon hash grid --------------------------------------------------
     grid_max_photons_per_cell: int = 32  # static per-cell budget (masked)
@@ -69,6 +83,18 @@ class RenderConfig:
     # -- intersection -------------------------------------------------------
     use_bvh: bool = False             # brute-force is faster for tiny scenes
     ray_chunk: int = 0                # if >0, process rays in chunks this size
+
+    # -- wavefront compaction ----------------------------------------------
+    # After the first full-batch bounce, the specular-chain and photon walks
+    # gather the surviving rays into a fixed-size queue (jnp.nonzero with a
+    # static size) and intersect only the queue — the dense kernels' cost is
+    # ∝ batch width, and survivors decay geometrically, so the loop tail
+    # stops paying full-batch price. Per-ray math is a pure function of
+    # per-ray state (uniforms keyed by global ids), so results match the
+    # full-batch loop up to XLA fusion noise (last-ulp). Disabled on the
+    # differentiable path (the fixed-trip fori_loop stays full-batch).
+    wavefront_compact: bool = True
+    compact_queue: int = 0            # queue width; 0 = auto (max(8192, n/8))
 
     # -- differentiation -----------------------------------------------------
     differentiable: bool = False      # True: bounded fori_loop walks (reverse-

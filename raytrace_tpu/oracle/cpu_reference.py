@@ -61,7 +61,7 @@ class OMaterial:
 
 @dataclass
 class OLight:
-    ltype: int  # 0 point, 1 area disk
+    ltype: int  # 0 point, 1 area disk, 2 distant
     o: np.ndarray
     intensity: np.ndarray
     p1: np.ndarray = field(default_factory=lambda: np.zeros(3))
@@ -260,6 +260,9 @@ def sample_L_illum(lt: OLight, p, u):
     if lt.ltype == 0:
         uwi = lt.o - p
         return lt.intensity / np.dot(uwi, uwi), uwi, 1.0
+    if lt.ltype == 2:  # distant: li = L, pdf 1, shadow extent 2·world radius
+        r_w = math.sqrt(max(lt.area, 1e-20) / math.pi)
+        return lt.intensity.copy(), -lt.normal * (2.0 * r_w), 1.0
     dx, dy = concentric_sample_disk(u[0], u[1])
     uwi = lt.o + dx * lt.p1 + dy * lt.p2 - p
     wi = _norm(uwi)
@@ -391,6 +394,13 @@ def trace_photons_oracle(scene: OScene, n_paths: int, max_depth: int = 4,
             d = uniform_sample_sphere(u[0], u[1])
             ns_l = d
             alpha = lt.intensity * (4.0 * math.pi)
+        elif lt.ltype == 2:  # distant: world-disk origin, pdf 1/(π r²)
+            dx, dy = concentric_sample_disk(u[0], u[1])
+            r_w = math.sqrt(max(lt.area, 1e-20) / math.pi)
+            o = lt.o - r_w * lt.normal + dx * lt.p1 + dy * lt.p2
+            d = lt.normal.copy()
+            ns_l = lt.normal
+            alpha = lt.intensity * lt.area  # |N·d| = 1, Le/pdf = L·π r²
         else:  # area disk: disk origin, hemisphere dir, pdf 1/2π, Le = I·A
             dx, dy = concentric_sample_disk(u[0], u[1])
             o = lt.o + dx * lt.p1 + dy * lt.p2

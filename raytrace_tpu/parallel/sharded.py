@@ -59,7 +59,7 @@ def _radiance_shard(
     k_light, k_photon = jax.random.split(jax.random.fold_in(key, 1), 2)
 
     rays = generate_rays(camera, xy_s, lens_s, config.spp)
-    rec = common.camera_pass(scene, rays.o, rays.d, config)
+    rec = common.camera_pass(scene, rays.o, rays.d, config, rays=rays)
     # GLOBAL pixel-sample ids: light-sample uniforms are a pure function of
     # them, so the N-chip render draws the same numbers as 1-chip
     n_local = xy_s.shape[0]
@@ -74,7 +74,7 @@ def _radiance_shard(
 
     n_local = xy_s.shape[0]
     state = photon_renderer.ProgressiveState(
-        radius2=jnp.full((n_local,), config.initial_radius2, jnp.float32),
+        radius2=photon_renderer.initial_radius2(rec, config),
         photon_count=jnp.zeros((n_local,), jnp.float32),
         flux=jnp.zeros((n_local, 3), jnp.float32),
     )

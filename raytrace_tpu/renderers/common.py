@@ -65,6 +65,14 @@ class CameraRecords:
         return self.status == 0
 
 
+def compact_queue_size(config: RenderConfig, n: int) -> int:
+    """Static width of the compacted-survivor queue (0 disables)."""
+    if not config.wavefront_compact or config.differentiable:
+        return 0
+    k = config.compact_queue or max(8192, n // 8)
+    return 0 if k >= n else k
+
+
 def camera_pass(
     scene: Scene, o: Array, d: Array, config: RenderConfig, rays=None
 ) -> CameraRecords:
@@ -76,6 +84,9 @@ def camera_pass(
     not propagated through specular chains — the footprint is a radius
     seed, not texture filtering)."""
     n = o.shape[0]
+    k = compact_queue_size(config, n)
+    if k:
+        return _camera_pass_compact(scene, o, d, config, rays, k)
     eps = jnp.float32(config.scene_epsilon)
 
     def empty_records():
@@ -151,6 +162,133 @@ def camera_pass(
         atten=atten,
     )
     return rec
+
+
+def _camera_pass_compact(
+    scene: Scene, o: Array, d: Array, config: RenderConfig, rays, k: int
+) -> CameraRecords:
+    """camera_pass with survivor compaction: bounce 0 runs full-batch (every
+    ray is live), then the specular survivors — a few percent of the batch —
+    are gathered into a static-width queue (jnp.nonzero, size=k) and only
+    the queue is intersected per bounce. Per-ray math is identical to the
+    full-batch loop (each lane's outcome is a pure function of its own
+    state); records match up to XLA fusion noise. If more than k rays
+    survive a bounce, the extras simply wait for a later iteration (the
+    queue drains in ray-index order)."""
+    n = o.shape[0]
+    eps = jnp.float32(config.scene_epsilon)
+    cap = config.max_specular_depth
+
+    # ---- bounce 0: full batch --------------------------------------------
+    hit = isect_ops.intersect(
+        scene, o, d, jnp.full((n,), eps), jnp.full((n,), BIG)
+    )
+    spec = mat_ops.is_specular(scene.materials, hit.mat)
+    spec_hit = hit.valid & spec
+    diff_hit = hit.valid & ~spec
+
+    if rays is not None:
+        p_rx = rays.rx_o + rays.rx_d * hit.t[:, None]
+        p_ry = rays.ry_o + rays.ry_d * hit.t[:, None]
+        fp = 0.5 * (vec.length(p_rx - hit.p) + vec.length(p_ry - hit.p))
+        fp = jnp.where(hit.valid, fp, 0.0)
+    else:
+        fp = jnp.zeros((n,), jnp.float32)
+
+    w = lambda m, a, b: jnp.where(m[..., None] if a.ndim == 2 else m, a, b)
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    rec = CameraRecords(
+        status=jnp.where(diff_hit, 0, 1),  # miss default; spec stays "miss"
+        p=w(diff_hit, hit.p, z3),
+        ns=w(diff_hit, hit.ns, z3),
+        ng=w(diff_hit, hit.ng, z3),
+        dpdu=w(diff_hit, hit.dpdu, z3),
+        dpdv=w(diff_hit, hit.dpdv, z3),
+        direction=d,
+        mat=jnp.where(diff_hit, hit.mat, -1),
+        light=jnp.where(diff_hit, hit.light, -1),
+        atten=jnp.ones((n, 3), jnp.float32),
+        footprint=fp,
+    )
+    thr, wi = mat_ops.specular(scene.materials, hit.mat, hit.ns, hit.dpdu, -d)
+    o = w(spec_hit, hit.p, o)
+    d = w(spec_hit, wi, d)
+    atten = w(spec_hit, thr, jnp.ones((n, 3), jnp.float32))
+    active = spec_hit
+    depth = jnp.ones((n,), jnp.int32)  # every live ray has done 1 bounce
+
+    # ---- bounces 1..cap: compacted queue ---------------------------------
+    # worst case each iteration retires k rays of the n·(cap+1) total
+    # ray-bounces; any(active) exits far earlier in practice
+    max_iters = -(-n // k) * (cap + 1) + 1
+
+    def cond(state):
+        it, active, *_ = state
+        return (it < max_iters) & jnp.any(active)
+
+    def body(state):
+        it, active, o, d, atten, depth, rec = state
+        idx_raw = jnp.nonzero(active, size=k, fill_value=n)[0]
+        sel = idx_raw < n
+        idx = jnp.minimum(idx_raw, n - 1)
+
+        # rays already past the cap don't get another intersection — the
+        # full-batch loop's exit rule (reference: raytracing.cu:98-101);
+        # they retire with the exception flag
+        exceed = sel & (depth[idx] > cap)
+        proc = sel & ~exceed
+
+        o_k, d_k = o[idx], d[idx]
+        hit = isect_ops.intersect(
+            scene, o_k, d_k, jnp.full((k,), eps), jnp.full((k,), BIG)
+        )
+        spec = mat_ops.is_specular(scene.materials, hit.mat)
+        spec_k = proc & hit.valid & spec
+        diff_k = proc & hit.valid & ~spec
+        miss_k = proc & ~hit.valid
+        cont = spec_k
+
+        wk = lambda m, a, b: jnp.where(m[..., None] if a.ndim == 2 else m, a, b)
+
+        def scat(buf, mask, val):
+            cur = buf[idx]
+            return buf.at[idx_raw].set(wk(mask, val, cur), mode="drop")
+
+        status_k = jnp.where(
+            diff_k, 0, jnp.where(miss_k, 1, jnp.where(exceed, 2, rec.status[idx]))
+        )
+        rec = CameraRecords(
+            status=rec.status.at[idx_raw].set(status_k, mode="drop"),
+            p=scat(rec.p, diff_k, hit.p),
+            ns=scat(rec.ns, diff_k, hit.ns),
+            ng=scat(rec.ng, diff_k, hit.ng),
+            dpdu=scat(rec.dpdu, diff_k, hit.dpdu),
+            dpdv=scat(rec.dpdv, diff_k, hit.dpdv),
+            direction=scat(rec.direction, diff_k, d_k),
+            mat=scat(rec.mat, diff_k, hit.mat),
+            light=scat(rec.light, diff_k, hit.light),
+            atten=rec.atten,
+            footprint=rec.footprint,
+        )
+
+        thr, wi = mat_ops.specular(
+            scene.materials, hit.mat, hit.ns, hit.dpdu, -d_k
+        )
+        o = scat(o, cont, hit.p)
+        d = scat(d, cont, wi)
+        atten = scat(atten, spec_k, atten[idx] * thr)
+        depth = scat(depth, spec_k, depth[idx] + 1)
+        active = active.at[idx_raw].set(cont, mode="drop")
+        return it + 1, active, o, d, atten, depth, rec
+
+    init = (jnp.int32(0), active, o, d, atten, depth, rec)
+    _, active, _, _, atten, _, rec = jax.lax.while_loop(cond, body, init)
+    # queue drained or iteration guard tripped: anything still active is a
+    # chain the guard cut short — flag it like the cap case
+    return rec.replace(
+        status=jnp.where(active, 2, rec.status),
+        atten=atten,
+    )
 
 
 def static_light_samples(scene: Scene, config: RenderConfig) -> tuple[int, ...]:

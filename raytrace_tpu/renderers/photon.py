@@ -51,6 +51,31 @@ class ProgressiveState:
     flux: Array  # [N, 3]
 
 
+def initial_radius2(rec: common.CameraRecords, config: RenderConfig) -> Array:
+    """Per-pixel starting search radius² for the progressive state.
+
+    Reference parity (footprint_radius_scale == 0): the global constant
+    radius² = 4 (raytracing.cu:123). SPPM mode (> 0): radius is the pixel's
+    camera-ray-differential footprint × scale, clamped — what pbrt's SPPM
+    integrator does, and the reason CameraRecords carries `footprint`."""
+    n = rec.footprint.shape[0]
+    base = jnp.full((n,), config.initial_radius2, jnp.float32)
+    if config.footprint_radius_scale <= 0.0:
+        return base
+    fp = config.footprint_radius_scale * rec.footprint
+    r2 = jnp.clip(fp * fp, config.min_radius2, config.initial_radius2)
+    return jnp.where(rec.footprint > 0.0, r2, base)
+
+
+def gather_cell_size(rec: common.CameraRecords, state: "ProgressiveState"):
+    """Grid cell edge for the spatial gather: the LARGEST live query radius
+    (cell ≥ radius keeps the 27-neighborhood/Morton-span test exact). Under
+    progressive shrinking and footprint radii this tightens the grid pass by
+    pass instead of pinning it to the initial global radius."""
+    live = jnp.where(rec.hit, state.radius2, 0.0)
+    return jnp.sqrt(jnp.maximum(jnp.max(live), 1e-12))
+
+
 def trace_photons(
     scene: Scene,
     config: RenderConfig,
@@ -119,105 +144,218 @@ def trace_photons(
     ph_wi = jnp.zeros((n_paths, max_depth, 3), jnp.float32)
     ph_valid = jnp.zeros((n_paths, max_depth), bool)
 
-    eps = jnp.float32(config.scene_epsilon)
-    rows = jnp.arange(n_paths)
+    step = partial(_photon_step, scene, config)
+    k = common.compact_queue_size(config, n_paths)
+    if k:
+        ph_p, ph_alpha, ph_wi, ph_valid = _photon_walk_compact(
+            step, uniforms, alive, o, d, alpha,
+            (ph_p, ph_alpha, ph_wi, ph_valid), config, k,
+        )
+    else:
+        rows = jnp.arange(n_paths)
 
-    def cond(state):
-        it, alive, *_ = state
-        return (it < config.max_photon_bounces) & jnp.any(alive)
+        def cond(state):
+            it, alive, *_ = state
+            return (it < config.max_photon_bounces) & jnp.any(alive)
 
-    def body(state):
-        it, alive, o, d, alpha, n_int, ph = state
-        ph_p, ph_alpha, ph_wi, ph_valid = ph
-        hit = isect_ops.intersect(
-            scene, o, d, jnp.full((n_paths,), eps), jnp.full((n_paths,), BIG)
-        )
-        alive = alive & hit.valid  # miss → photon dies (photontracing.cu:193)
-        spec = mat_ops.is_specular(scene.materials, hit.mat)
-        spec_hit = alive & spec
-        diff_hit = alive & ~spec
+        def body(state):
+            it, alive, o, d, alpha, n_int, ph = state
+            ph_p, ph_alpha, ph_wi, ph_valid = ph
+            u = uniforms[rows, jnp.clip(n_int, 0, max_depth)]
+            out = step(o, d, alpha, n_int, alive, u)
+            dep = out["deposit"]
+            slot = out["slot"]
+            dep_val = lambda buf, v: buf.at[rows, slot].set(
+                jnp.where(dep[:, None] if v.ndim == 2 else dep,
+                          v, buf[rows, slot])
+            )
+            ph_p = dep_val(ph_p, out["dep_p"])
+            ph_alpha = dep_val(ph_alpha, out["dep_alpha"])
+            ph_wi = dep_val(ph_wi, out["dep_wi"])
+            ph_valid = ph_valid.at[rows, slot].set(
+                jnp.where(dep, True, ph_valid[rows, slot])
+            )
+            return (
+                it + 1, out["alive"], out["o"], out["d"], out["alpha"],
+                out["n_int"], (ph_p, ph_alpha, ph_wi, ph_valid),
+            )
 
-        # --- specular bounce (photontracing.cu:113-134) -------------------
-        thr, wi_s = mat_ops.specular(scene.materials, hit.mat, hit.ns, hit.dpdu, -d)
-
-        # --- diffuse: deposit if bounced at least once
-        # (indirect-only map, photontracing.cu:141-151) ---------------------
-        deposit = diff_hit & (n_int >= 1)
-        slot = jnp.clip(n_int - 1, 0, max_depth - 1)
-        dep_val = lambda buf, v: buf.at[rows, slot].set(
-            jnp.where(deposit[:, None] if v.ndim == 2 else deposit,
-                      v, buf[rows, slot])
-        )
-        ph_p = dep_val(ph_p, hit.p)
-        ph_alpha = dep_val(ph_alpha, alpha)
-        ph_wi = dep_val(ph_wi, -d)
-        ph_valid = ph_valid.at[rows, slot].set(
-            jnp.where(deposit, True, ph_valid[rows, slot])
-        )
-
-        # --- diffuse continuation (photontracing.cu:153-184) ---------------
-        cont = diff_hit & (n_int < max_depth)
-        u = uniforms[rows, jnp.clip(n_int, 0, max_depth)]
-        fr, wi_d, pdf_b = mat_ops.sample_f(
-            scene.materials, hit.mat, hit.ns, hit.dpdu, -d, u[:, 0], u[:, 1]
-        )
-        cont = cont & ~spectrum.is_black(fr) & (pdf_b > 0.0)
-        anew = (
-            alpha
-            * fr
-            * vec.absdot(wi_d, vec.normalize(hit.ns))[:, None]
-            / jnp.where(pdf_b == 0.0, 1.0, pdf_b)[:, None]
-        )
-        if config.russian_roulette and not config.differentiable:
-            # the commented-out pbrt roulette, enabled
-            # (photontracing.cu:173-178): P = min(1, y(anew)/y(alpha)).
-            # RR is OFF on the differentiable path: the survival test
-            # u <= P(kd) flips discretely under parameter perturbation
-            # (finite differences see jumps) and pathwise AD through the
-            # 1/P(kd) reweighting is biased without the score-function
-            # term — and the differentiable walk is a fixed-trip fori_loop
-            # anyway, so roulette saves no work there. Verified: without RR
-            # the FD/AD albedo check agrees to ~4 significant digits.
-            y_old = spectrum.luminance(alpha)
-            y_new = spectrum.luminance(anew)
-            p_cont = jnp.minimum(1.0, y_new / jnp.where(y_old == 0.0, 1.0, y_old))
-            survive = u[:, 2] <= p_cont
-            cont = cont & survive & (p_cont > 0.0)
-            anew = anew / jnp.where(p_cont == 0.0, 1.0, p_cont)[:, None]
-
-        # --- merge next-ray state -------------------------------------------
-        next_alive = spec_hit | cont
-        o2 = jnp.where(next_alive[:, None], hit.p, o)
-        d2 = jnp.where(spec_hit[:, None], wi_s, jnp.where(cont[:, None], wi_d, d))
-        alpha2 = jnp.where(
-            spec_hit[:, None], alpha * thr, jnp.where(cont[:, None], anew, alpha)
-        )
-        # nIntersections: specular bumps 0→1 only (photontracing.cu:126-129);
-        # diffuse continuation increments (photontracing.cu:182)
-        n_int2 = jnp.where(
-            spec_hit & (n_int == 0), 1, jnp.where(cont, n_int + 1, n_int)
-        )
-        # a specular path whose throughput went black can never deposit again
-        next_alive = next_alive & ~spectrum.is_black(alpha2)
-        return (
-            it + 1, next_alive, o2, d2, alpha2, n_int2,
+        init = (
+            jnp.int32(0), alive, o, d, alpha,
+            jnp.zeros((n_paths,), jnp.int32),
             (ph_p, ph_alpha, ph_wi, ph_valid),
         )
-
-    init = (
-        jnp.int32(0), alive, o, d, alpha,
-        jnp.zeros((n_paths,), jnp.int32),
-        (ph_p, ph_alpha, ph_wi, ph_valid),
-    )
-    _, _, _, _, _, _, (ph_p, ph_alpha, ph_wi, ph_valid) = common.bounded_loop(
-        cond, body, init,
-        n_iters=config.max_photon_bounces,
-        differentiable=config.differentiable,
-    )
+        _, _, _, _, _, _, (ph_p, ph_alpha, ph_wi, ph_valid) = (
+            common.bounded_loop(
+                cond, body, init,
+                n_iters=config.max_photon_bounces,
+                differentiable=config.differentiable,
+            )
+        )
     flat = lambda x: x.reshape((n_paths * max_depth,) + x.shape[2:])
     return photon_grid.PhotonMap(
         p=flat(ph_p), alpha=flat(ph_alpha), wi=flat(ph_wi), valid=flat(ph_valid)
     )
+
+
+def _photon_step(
+    scene: Scene, config: RenderConfig, o, d, alpha, n_int, act, u
+) -> dict:
+    """One photon-walk step for a batch of lanes (full-width or a compacted
+    queue): intersect, classify specular/diffuse, compute the deposit and the
+    continuation state. Pure per-lane math — identical at any batching.
+    Reference semantics: photontracing.cu:113-185."""
+    width = o.shape[0]
+    max_depth = config.max_photon_depth
+    eps = jnp.float32(config.scene_epsilon)
+    hit = isect_ops.intersect(
+        scene, o, d, jnp.full((width,), eps), jnp.full((width,), BIG)
+    )
+    alive = act & hit.valid  # miss → photon dies (photontracing.cu:193)
+    spec = mat_ops.is_specular(scene.materials, hit.mat)
+    spec_hit = alive & spec
+    diff_hit = alive & ~spec
+
+    # --- specular bounce (photontracing.cu:113-134) -----------------------
+    thr, wi_s = mat_ops.specular(scene.materials, hit.mat, hit.ns, hit.dpdu, -d)
+
+    # --- diffuse: deposit if bounced at least once
+    # (indirect-only map, photontracing.cu:141-151) -------------------------
+    deposit = diff_hit & (n_int >= 1)
+    slot = jnp.clip(n_int - 1, 0, max_depth - 1)
+
+    # --- diffuse continuation (photontracing.cu:153-184) -------------------
+    cont = diff_hit & (n_int < max_depth)
+    fr, wi_d, pdf_b = mat_ops.sample_f(
+        scene.materials, hit.mat, hit.ns, hit.dpdu, -d, u[:, 0], u[:, 1]
+    )
+    cont = cont & ~spectrum.is_black(fr) & (pdf_b > 0.0)
+    anew = (
+        alpha
+        * fr
+        * vec.absdot(wi_d, vec.normalize(hit.ns))[:, None]
+        / jnp.where(pdf_b == 0.0, 1.0, pdf_b)[:, None]
+    )
+    if config.russian_roulette and not config.differentiable:
+        # the commented-out pbrt roulette, enabled
+        # (photontracing.cu:173-178): P = min(1, y(anew)/y(alpha)).
+        # RR is OFF on the differentiable path: the survival test
+        # u <= P(kd) flips discretely under parameter perturbation
+        # (finite differences see jumps) and pathwise AD through the
+        # 1/P(kd) reweighting is biased without the score-function
+        # term — and the differentiable walk is a fixed-trip fori_loop
+        # anyway, so roulette saves no work there. Verified: without RR
+        # the FD/AD albedo check agrees to ~4 significant digits.
+        y_old = spectrum.luminance(alpha)
+        y_new = spectrum.luminance(anew)
+        p_cont = jnp.minimum(1.0, y_new / jnp.where(y_old == 0.0, 1.0, y_old))
+        survive = u[:, 2] <= p_cont
+        cont = cont & survive & (p_cont > 0.0)
+        anew = anew / jnp.where(p_cont == 0.0, 1.0, p_cont)[:, None]
+
+    # --- merge next-ray state ----------------------------------------------
+    next_alive = spec_hit | cont
+    o2 = jnp.where(next_alive[:, None], hit.p, o)
+    d2 = jnp.where(spec_hit[:, None], wi_s, jnp.where(cont[:, None], wi_d, d))
+    alpha2 = jnp.where(
+        spec_hit[:, None], alpha * thr, jnp.where(cont[:, None], anew, alpha)
+    )
+    # nIntersections: specular bumps 0→1 only (photontracing.cu:126-129);
+    # diffuse continuation increments (photontracing.cu:182)
+    n_int2 = jnp.where(
+        spec_hit & (n_int == 0), 1, jnp.where(cont, n_int + 1, n_int)
+    )
+    # a specular path whose throughput went black can never deposit again
+    next_alive = next_alive & ~spectrum.is_black(alpha2)
+    return dict(
+        deposit=deposit, slot=slot, dep_p=hit.p, dep_alpha=alpha, dep_wi=-d,
+        o=o2, d=d2, alpha=alpha2, n_int=n_int2, alive=next_alive,
+    )
+
+
+def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
+    """Photon walk with survivor compaction (see common.compact_queue_size):
+    step 0 runs full-batch (every path is live), then survivors are gathered
+    into a static k-wide queue per iteration. Each path takes at most
+    `max_photon_bounces` steps (tracked per path — the full-batch loop's
+    global iteration counter IS the per-path step count there, since all
+    lanes advance together), so the walks produce the same photon sets up
+    to XLA fusion noise."""
+    n = o.shape[0]
+    max_depth = config.max_photon_depth
+    ph_p, ph_alpha, ph_wi, ph_valid = ph
+    rows = jnp.arange(n)
+
+    # ---- step 0: full batch ----------------------------------------------
+    u0 = uniforms[rows, 0]
+    out = step(o, d, alpha, jnp.zeros((n,), jnp.int32), alive, u0)
+    dep = out["deposit"]
+    slot = out["slot"]
+    dep_val = lambda buf, v: buf.at[rows, slot].set(
+        jnp.where(dep[:, None] if v.ndim == 2 else dep, v, buf[rows, slot])
+    )
+    ph_p = dep_val(ph_p, out["dep_p"])
+    ph_alpha = dep_val(ph_alpha, out["dep_alpha"])
+    ph_wi = dep_val(ph_wi, out["dep_wi"])
+    ph_valid = ph_valid.at[rows, slot].set(
+        jnp.where(dep, True, ph_valid[rows, slot])
+    )
+    alive = out["alive"]
+    o, d, alpha, n_int = out["o"], out["d"], out["alpha"], out["n_int"]
+    steps = jnp.ones((n,), jnp.int32)
+    alive = alive & (steps < config.max_photon_bounces)
+
+    max_iters = -(-n // k) * config.max_photon_bounces + 1
+
+    def cond(state):
+        it, alive, *_ = state
+        return (it < max_iters) & jnp.any(alive)
+
+    def body(state):
+        it, alive, o, d, alpha, n_int, steps, ph = state
+        ph_p, ph_alpha, ph_wi, ph_valid = ph
+        idx_raw = jnp.nonzero(alive, size=k, fill_value=n)[0]
+        sel = idx_raw < n
+        idx = jnp.minimum(idx_raw, n - 1)
+
+        n_int_k = n_int[idx]
+        u = uniforms[idx, jnp.clip(n_int_k, 0, max_depth)]
+        out = step(o[idx], d[idx], alpha[idx], n_int_k, sel, u)
+
+        dep = out["deposit"]
+        slot_k = out["slot"]
+        dep_val = lambda buf, v: buf.at[idx_raw, slot_k].set(
+            jnp.where(dep[:, None] if v.ndim == 2 else dep,
+                      v, buf[idx, slot_k]),
+            mode="drop",
+        )
+        ph_p = dep_val(ph_p, out["dep_p"])
+        ph_alpha = dep_val(ph_alpha, out["dep_alpha"])
+        ph_wi = dep_val(ph_wi, out["dep_wi"])
+        ph_valid = ph_valid.at[idx_raw, slot_k].set(
+            jnp.where(dep, True, ph_valid[idx, slot_k]), mode="drop"
+        )
+
+        steps_k = steps[idx] + 1
+        alive_k = out["alive"] & (steps_k < config.max_photon_bounces)
+        scat = lambda buf, v: buf.at[idx_raw].set(v, mode="drop")
+        return (
+            it + 1,
+            scat(alive, alive_k),
+            scat(o, out["o"]),
+            scat(d, out["d"]),
+            scat(alpha, out["alpha"]),
+            scat(n_int, out["n_int"]),
+            scat(steps, steps_k),
+            (ph_p, ph_alpha, ph_wi, ph_valid),
+        )
+
+    init = (
+        jnp.int32(0), alive, o, d, alpha, n_int, steps,
+        (ph_p, ph_alpha, ph_wi, ph_valid),
+    )
+    state = jax.lax.while_loop(cond, body, init)
+    return state[7]
 
 
 def gathering_pass(
@@ -249,11 +387,15 @@ def gathering_pass(
         if photons.p.shape[0] >= (1 << 14):
             # grid-aware kernel: cost ∝ photons near each query tile
             # (Morton-sorted spans), not total photon count — the only
-            # path that scales to the BASELINE 16M-photon config
-            cell_size = jnp.sqrt(jnp.float32(config.initial_radius2))
+            # path that scales to the BASELINE 16M-photon config. Cell
+            # size tracks the largest LIVE radius so shrinking/footprint
+            # radii tighten the spans; miss-pixel queries are zeroed out
+            # so they never widen the cell box.
+            cell_size = gather_cell_size(rec, state)
+            q_r2 = jnp.where(rec.hit, state.radius2, 0.0)
             idl, m = pallas_gather.gather_radius_pallas_grid(
                 photons.p, photons.alpha, photons.wi, photons.valid,
-                cell_size, rec.p, state.radius2, rec.ns, kd_over_pi,
+                cell_size, rec.p, q_r2, rec.ns, kd_over_pi,
             )
             n_valid = jnp.sum(photons.valid).astype(jnp.int32)
         else:
@@ -344,13 +486,13 @@ def _ppm_setup(
         k_pix, config.width, config.height, config.spp, jitter=jitter
     )
     rays = generate_rays(camera, xy, lens, config.spp)
-    rec = common.camera_pass(scene, rays.o, rays.d, config)
+    rec = common.camera_pass(scene, rays.o, rays.d, config, rays=rays)
     direct = common.direct_lighting(
         scene, rec, k_light, config, light_samples, include_emitted=True
     )
     n = rays.o.shape[0]
     state = ProgressiveState(
-        radius2=jnp.full((n,), config.initial_radius2, jnp.float32),
+        radius2=initial_radius2(rec, config),
         photon_count=jnp.zeros((n,), jnp.float32),
         flux=jnp.zeros((n, 3), jnp.float32),
     )
@@ -454,13 +596,13 @@ def _render_photon(
     n = rays.o.shape[0]
 
     # pass 1: camera records + direct lighting (raytracing.cu)
-    rec = common.camera_pass(scene, rays.o, rays.d, config)
+    rec = common.camera_pass(scene, rays.o, rays.d, config, rays=rays)
     direct = common.direct_lighting(
         scene, rec, k_light, config, light_samples, include_emitted=True
     )
 
     state = ProgressiveState(
-        radius2=jnp.full((n,), config.initial_radius2, jnp.float32),
+        radius2=initial_radius2(rec, config),
         photon_count=jnp.zeros((n,), jnp.float32),
         flux=jnp.zeros((n, 3), jnp.float32),
     )

@@ -22,6 +22,7 @@ from raytrace_tpu.scene import transform as tr
 from raytrace_tpu.scene.scene import (
     GLASS,
     LIGHT_AREA_DISK,
+    LIGHT_DISTANT,
     LIGHT_POINT,
     MATTE,
     MIRROR,
@@ -187,6 +188,24 @@ class SceneBuilder:
             area=0.0, intensity=np.asarray(intensity, np.float64), n_samples=1,
         ))
 
+    def distant_light(self, direction, radiance):
+        """Directional (distant) light: constant radiance L arriving from
+        `direction` (the direction light TRAVELS, i.e. from light toward the
+        scene). The reference declares this type but never implements it
+        (DIRECTION, common.cu.h:48); semantics here follow pbrt's
+        DistantLight — photons launch from a disk spanning the scene's
+        bounding sphere, filled in at build() when the bounds are known."""
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        self._lights.append(dict(
+            ltype=LIGHT_DISTANT,
+            o=np.zeros(3),  # world center, filled at build()
+            p1=np.zeros(3), p2=np.zeros(3),  # launch-disk frame, at build()
+            normal=d,
+            area=0.0,  # π·world_radius², at build()
+            intensity=np.asarray(radiance, np.float64), n_samples=1,
+        ))
+
     def area_light_disk(
         self,
         emit,
@@ -237,7 +256,6 @@ class SceneBuilder:
             kd=jnp.asarray(np.stack(self._mat_kd or [np.full(3, 0.5)]).astype(_F32)),
             eta=jnp.asarray(np.asarray(self._mat_eta or [1.0], _F32)),
         )
-        lights = self._build_lights()
         # triangle staging stays in NUMPY until the very end: premature
         # jnp.asarray round-trips megabytes through the device (the axon TPU
         # is behind a network tunnel — a 1M-tri build went 400s → ~2s once
@@ -262,6 +280,7 @@ class SceneBuilder:
                 tris_np["v0"], tris_np["v1"], tris_np["v2"]
             )
         tris = Triangles(**{k: jnp.asarray(v) for k, v in tris_np.items()})
+        lights = self._build_lights(self._world_bounds_np(tris_np))
         return Scene(
             tris=tris,
             spheres=self._build_spheres(),
@@ -362,12 +381,53 @@ class SceneBuilder:
             light=jnp.asarray(np.asarray(lgs, np.int32)),
         )
 
-    def _build_lights(self) -> Lights:
+    def _world_bounds_np(self, tris_np: dict) -> tuple:
+        """Conservative world bounding sphere (center, radius) over every
+        shape — sized only when distant lights need a launch disk."""
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        if tris_np["v0"].shape[0]:
+            for k in ("v0", "v1", "v2"):
+                lo = np.minimum(lo, tris_np[k].min(axis=0))
+                hi = np.maximum(hi, tris_np[k].max(axis=0))
+        for _, rec in self._spheres:
+            c = tr.apply_point(rec["o2w"], np.zeros(3))
+            lo = np.minimum(lo, c - rec["radius"])
+            hi = np.maximum(hi, c + rec["radius"])
+        for _, rec in self._disks:
+            o2w = rec["o2w"]
+            worldo = tr.apply_point(o2w, np.array([0.0, 0.0, rec["height"]]))
+            r = np.linalg.norm(
+                tr.apply_vector(o2w, np.array([rec["radius"], 0.0, 0.0]))
+            ) + np.linalg.norm(
+                tr.apply_vector(o2w, np.array([0.0, rec["radius"], 0.0]))
+            )
+            lo = np.minimum(lo, worldo - r)
+            hi = np.maximum(hi, worldo + r)
+        if not np.all(np.isfinite(lo)):
+            return np.zeros(3), 1.0
+        center = 0.5 * (lo + hi)
+        radius = max(float(np.linalg.norm(hi - center)), 1e-6)
+        return center, radius
+
+    def _build_lights(self, world_bounds: tuple) -> Lights:
         ls = self._lights or [dict(
             ltype=LIGHT_POINT, o=np.zeros(3), p1=np.zeros(3), p2=np.zeros(3),
             normal=np.array([0.0, 0.0, 1.0]), area=0.0,
             intensity=np.zeros(3), n_samples=1,
         )]
+        center, radius = world_bounds
+        for l in ls:
+            if l["ltype"] != LIGHT_DISTANT:
+                continue
+            # photon launch disk spanning the scene's bounding sphere
+            # (pbrt DistantLight::Sample_L): center - r·d + disk(r) ⊥ d
+            d = l["normal"]
+            v1, v2 = _coordinate_system(d)
+            l["o"] = np.asarray(center, np.float64)
+            l["p1"] = v1 * radius
+            l["p2"] = v2 * radius
+            l["area"] = math.pi * radius * radius
         f = lambda k: jnp.asarray(np.asarray([l[k] for l in ls], _F32))
         return Lights(
             ltype=jnp.asarray(np.asarray([l["ltype"] for l in ls], np.int32)),
@@ -375,6 +435,15 @@ class SceneBuilder:
             area=f("area"), intensity=f("intensity"),
             n_samples=jnp.asarray(np.asarray([l["n_samples"] for l in ls], np.int32)),
         )
+
+
+def _coordinate_system(v: np.ndarray) -> tuple:
+    """Orthonormal frame ⊥ unit v (pbrt CoordinateSystem)."""
+    if abs(v[0]) > abs(v[1]):
+        v1 = np.array([-v[2], 0.0, v[0]]) / math.sqrt(v[0] * v[0] + v[2] * v[2])
+    else:
+        v1 = np.array([0.0, v[2], -v[1]]) / math.sqrt(v[1] * v[1] + v[2] * v[2])
+    return v1, np.cross(v, v1)
 
 
 class ObjectRecorder:

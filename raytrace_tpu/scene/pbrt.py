@@ -328,9 +328,19 @@ class _Parser:
             frm = self._get(params, "from", [0.0, 0.0, 0.0])
             p = tr.apply_point(self.state.ctm, np.asarray(frm, np.float64))
             self.builder.point_light(p, i)
+        elif kind == "distant":
+            # pbrt distant light: radiance L travelling from → to
+            radiance = self._rgb(params, "L", (1.0, 1.0, 1.0))
+            frm = np.asarray(self._get(params, "from", [0.0, 0.0, 0.0]),
+                             np.float64)
+            to = np.asarray(self._get(params, "to", [0.0, 0.0, 1.0]),
+                            np.float64)
+            d = tr.apply_vector(self.state.ctm, to - frm)
+            self.builder.distant_light(d, radiance)
         else:
             warnings.warn(f"pbrt: light {kind!r} unsupported; ignored "
-                          "(reference supports point + disk-area only, "
+                          "(point, distant and disk-area supported; the "
+                          "reference has point + disk-area only, "
                           "cudalight.cpp:11-71)")
 
     def _stmt_AreaLightSource(self):

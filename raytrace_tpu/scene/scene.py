@@ -20,9 +20,11 @@ from jax import Array
 
 # Material types (reference: util/common.cu.h:61-63)
 MATTE, MIRROR, GLASS = 0, 1, 2
-# Light types (reference: util/common.cu.h:48; DIRECTION is unimplemented there
-# too — we keep the same two concrete kinds and add more behind the same table)
-LIGHT_POINT, LIGHT_AREA_DISK = 0, 1
+# Light types (reference: util/common.cu.h:48 declares POINT, AREA and
+# DIRECTION; DIRECTION is declared-but-unimplemented there — here it is a
+# real distant light: constant radiance along one direction, photons shot
+# from a world-bounding disk, pbrt DistantLight semantics)
+LIGHT_POINT, LIGHT_AREA_DISK, LIGHT_DISTANT = 0, 1, 2
 
 
 @flax.struct.dataclass
@@ -97,8 +99,12 @@ class Materials:
 
 @flax.struct.dataclass
 class Lights:
-    """Flattened light table (reference: CudaLightDevice, common.cu.h:47-59)."""
-    ltype: Array  # [L] int32: LIGHT_POINT | LIGHT_AREA_DISK
+    """Flattened light table (reference: CudaLightDevice, common.cu.h:47-59).
+
+    DISTANT lights reuse the same fields: o = world-bounding-sphere center,
+    p1/p2 = world-radius-scaled frame ⊥ the travel direction (the photon
+    launch disk), normal = unit travel direction, area = π·world_radius²."""
+    ltype: Array  # [L] int32: LIGHT_POINT | LIGHT_AREA_DISK | LIGHT_DISTANT
     o: Array  # [L, 3] position / disk center
     p1: Array  # [L, 3] disk axis 1 (radius-scaled)
     p2: Array  # [L, 3] disk axis 2

@@ -20,7 +20,12 @@ from raytrace_tpu.core.sampling import (
     uniform_sample_sphere,
     uniform_sphere_pdf,
 )
-from raytrace_tpu.scene.scene import LIGHT_AREA_DISK, LIGHT_POINT, Lights
+from raytrace_tpu.scene.scene import (
+    LIGHT_AREA_DISK,
+    LIGHT_DISTANT,
+    LIGHT_POINT,
+    Lights,
+)
 
 
 def _light_row(lights: Lights, i):
@@ -59,10 +64,21 @@ def sample_L_illum(
     )
     li_ar = jnp.where(cos_t[:, None] > 0.0, cld.intensity, 0.0)
 
+    # distant light (pbrt DistantLight::Sample_L): li = L, pdf = 1; the
+    # shadow "extent" reaches 2·world_radius against the travel direction
+    # (the launch-disk radius is encoded as area = π·r²)
+    r_w = jnp.sqrt(jnp.maximum(cld.area, 1e-20) * (1.0 / math.pi))
+    uwi_di = jnp.broadcast_to(-cld.normal, uwi_pt.shape) * (
+        2.0 * jnp.asarray(r_w)[..., None]
+    )
+    li_di = jnp.broadcast_to(cld.intensity, li_pt.shape)
+    pdf_di = jnp.ones(p.shape[0], p.dtype)
+
     is_point = cld.ltype == LIGHT_POINT
-    li = jnp.where(is_point, li_pt, li_ar)
-    uwi = jnp.where(is_point, uwi_pt, uwi_ar)
-    pdf = jnp.where(is_point, pdf_pt, pdf_ar)
+    is_dist = cld.ltype == LIGHT_DISTANT
+    li = jnp.where(is_point, li_pt, jnp.where(is_dist, li_di, li_ar))
+    uwi = jnp.where(is_point, uwi_pt, jnp.where(is_dist, uwi_di, uwi_ar))
+    pdf = jnp.where(is_point, pdf_pt, jnp.where(is_dist, pdf_di, pdf_ar))
     return li, uwi, pdf
 
 
@@ -100,13 +116,31 @@ def sample_Le(
     area = jnp.broadcast_to(jnp.asarray(cld.area), (n,))
     le_ar = jnp.broadcast_to(cld.intensity, (n, 3)) * area[:, None]
 
+    # distant light (pbrt DistantLight::Sample_L ray variant): origin on the
+    # world-bounding disk pushed back one world radius against the travel
+    # direction, direction = the travel direction, pdf = 1/(π·r²) = 1/area
+    r_w = jnp.sqrt(jnp.maximum(jnp.asarray(cld.area), 1e-20) * (1.0 / math.pi))
+    nrm = jnp.broadcast_to(cld.normal, (n, 3))
+    o_di = (
+        jnp.broadcast_to(cld.o, (n, 3))
+        - jnp.broadcast_to(jnp.asarray(r_w)[..., None] * cld.normal, (n, 3))
+        + dx[:, None] * cld.p1
+        + dy[:, None] * cld.p2
+    )
+    d_di = nrm
+    ns_di = nrm
+    pdf_di = 1.0 / jnp.maximum(area, 1e-20)
+    le_di = jnp.broadcast_to(cld.intensity, (n, 3))
+
     is_point = jnp.broadcast_to(jnp.asarray(cld.ltype == LIGHT_POINT), (n,))
+    is_dist = jnp.broadcast_to(jnp.asarray(cld.ltype == LIGHT_DISTANT), (n,))
     ip3 = is_point[:, None]
-    le = jnp.where(ip3, le_pt, le_ar)
-    o = jnp.where(ip3, o_pt, o_ar)
-    d = jnp.where(ip3, d_pt, d_ar)
-    ns = jnp.where(ip3, ns_pt, ns_ar)
-    pdf = jnp.where(is_point, pdf_pt, pdf_ar)
+    id3 = is_dist[:, None]
+    le = jnp.where(ip3, le_pt, jnp.where(id3, le_di, le_ar))
+    o = jnp.where(ip3, o_pt, jnp.where(id3, o_di, o_ar))
+    d = jnp.where(ip3, d_pt, jnp.where(id3, d_di, d_ar))
+    ns = jnp.where(ip3, ns_pt, jnp.where(id3, ns_di, ns_ar))
+    pdf = jnp.where(is_point, pdf_pt, jnp.where(is_dist, pdf_di, pdf_ar))
     return le, o, d, ns, pdf
 
 
