@@ -48,6 +48,10 @@ def run_once(size: int, photon_paths: int) -> dict:
     config = RenderConfig(
         width=size, height=size, spp=spp, scene_epsilon=1e-3,
         photon_paths=photon_paths, photon_passes=1, max_photon_bounces=8,
+        # SPPM-style per-pixel footprint radii (sharper AND faster than the
+        # reference's global radius²=4, which makes every gather query span
+        # the entire Cornell box); survivor compaction is on by default
+        footprint_radius_scale=8.0,
     )
     scene, camera = presets.cornell_box(size=size, ball="glass")
 

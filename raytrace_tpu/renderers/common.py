@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from raytrace_tpu.core import samples as samples_lib
 from raytrace_tpu.core import vec
 from raytrace_tpu.core.config import RenderConfig
 from raytrace_tpu.ops import intersect as isect_ops
@@ -328,23 +329,17 @@ def direct_lighting(
     if sample_ids is None:
         sample_ids = jnp.arange(n, dtype=jnp.uint32)
 
+    # unified sample-request layout (reference: CudaSample::Add2D offsets
+    # feeding bRandom2D, util/sampler/cudasample.cpp:2-25 +
+    # cudalight.cu.h:34-35): one stratified 2D request per light
+    layout = samples_lib.SampleLayout()
+    offsets = [layout.add_2d(ns_i) for ns_i in light_samples]
+    u2d = layout.materialize_2d(key, sample_ids)  # [N, total, 2]
+
     eps = config.shadow_epsilon
     for i, ns_i in enumerate(light_samples):
         for s in range(ns_i):
-            key, sub = jax.random.split(key)
-            # stratify the per-light samples over the s index (pbrt's
-            # stratified 2D arrays; reference reads bRandom2D at
-            # cudalight.cu.h:34-35)
-            u = jax.vmap(
-                lambda g: jax.random.uniform(
-                    jax.random.fold_in(sub, g), (2,), dtype=jnp.float32
-                )
-            )(sample_ids)
-            sx, sy = _strata(ns_i)
-            kx, ky = s % sx, s // sx
-            u = (u + jnp.array([kx, ky], jnp.float32)) / jnp.array(
-                [sx, sy], jnp.float32
-            )
+            u = u2d[:, offsets[i] + s]
             li, uwi, pdf = light_ops.sample_L_illum(scene.lights, i, rec.p, u)
             shadowed = isect_ops.occluded(
                 scene, rec.p, uwi,
@@ -360,9 +355,3 @@ def direct_lighting(
     return jnp.where(hit[:, None], L, 0.0)
 
 
-def _strata(n: int) -> tuple[int, int]:
-    sx, sy = n, 1
-    while sx > sy and (sx & 1) == 0:
-        sx //= 2
-        sy *= 2
-    return sx, sy

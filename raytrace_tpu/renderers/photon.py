@@ -607,15 +607,24 @@ def _render_photon(
         flux=jnp.zeros((n, 3), jnp.float32),
     )
 
-    valid_photons = jnp.int32(0)
-    max_occ = jnp.int32(0)
     # progressive photon waves (reference hard-codes passes=1,
-    # photonmappingrenderer.cpp:38; ours is configurable)
-    for p in range(config.photon_passes):
+    # photonmappingrenderer.cpp:38; ours is configurable). lax.scan over the
+    # pass index compiles ONE wave regardless of photon_passes — pass_idx
+    # only feeds RNG fold_ins, so the trace is pass-independent.
+    def wave(carry, p):
+        state, vp, occ = carry
         photons = trace_photons(scene, config, k_photon, p)
         state, info = gathering_pass(scene, rec, state, photons, config)
-        valid_photons += info["valid_photons"]
-        max_occ = jnp.maximum(max_occ, info["max_cell_occupancy"])
+        return (
+            state,
+            vp + info["valid_photons"],
+            jnp.maximum(occ, info["max_cell_occupancy"]),
+        ), None
+
+    (state, valid_photons, max_occ), _ = jax.lax.scan(
+        wave, (state, jnp.int32(0), jnp.int32(0)),
+        jnp.arange(config.photon_passes),
+    )
 
     emitting = jnp.float32(config.photon_paths * config.photon_passes)
     L = final_gathering(rec, direct, state, emitting)
