@@ -34,7 +34,7 @@ RAYS_PER_S_R1 = 114148.25
 # (size, photon_paths) attempts for the headline, largest first.
 ATTEMPTS = [(512, 1 << 18), (256, 1 << 16), (128, 1 << 14), (64, 1 << 12)]
 ATTEMPT_TIMEOUT_S = 1500
-TRIS_TIMEOUT_S = 1200
+TRIS_TIMEOUT_S = 1800
 
 
 def run_once(size: int, photon_paths: int) -> dict:

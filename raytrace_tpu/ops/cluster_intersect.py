@@ -176,11 +176,16 @@ def _cull(clusters: ClusterSet, oT, dT, tminP, tmaxP, n_tiles, interpret):
 # Stage C: block-sparse pair intersection
 # ---------------------------------------------------------------------------
 
-def _pair_kernel(pt_ref, pc_ref, np_ref, o_ref, d_ref, tmin_ref, tmax_ref,
-                 tv_ref, t_ref, idx_ref, *, cluster_size: int):
+def _pair_kernel(pid_ref, np_ref, o_ref, d_ref, tmin_ref, tmax_ref,
+                 tv_ref, t_ref, idx_ref, *, cluster_size: int, cp: int):
+    # pair ids arrive PACKED (pid = tile·cp + cluster) so only ONE
+    # s32[budget] scalar-prefetch array occupies SMEM — two unpacked arrays
+    # at budget 2^17 (512 KB each) overflow the v5e's ~1 MB SMEM
     p = pl.program_id(0)
-    tile = pt_ref[p]
-    new_tile = jnp.logical_or(p == 0, tile != pt_ref[jnp.maximum(p - 1, 0)])
+    tile = pid_ref[p] // cp
+    new_tile = jnp.logical_or(
+        p == 0, tile != pid_ref[jnp.maximum(p - 1, 0)] // cp
+    )
 
     @pl.when(new_tile)
     def _():
@@ -232,7 +237,7 @@ def _pair_kernel(pt_ref, pc_ref, np_ref, o_ref, d_ref, tmin_ref, tmax_ref,
                         axis=1)
         prev = t_ref[0, :]
         better = tbest < prev
-        base = pc_ref[p] * cluster_size
+        base = (pid_ref[p] % cp) * cluster_size
         t_ref[0, :] = jnp.where(better, tbest, prev)
         idx_ref[0, :] = jnp.where(better, base + jbest, idx_ref[0, :])
 
@@ -269,46 +274,45 @@ def intersect_clusters(
     # that already appeared, so fill entries never re-trigger an init
     hit = hit.at[:, 0].set(1.0)
 
-    # ---- stage B: compact to a tile-sorted pair list ----------------------
+    # ---- stage B: compact to a tile-sorted PACKED pair list ---------------
+    # pid = tile·cp + cluster in one s32 array (SMEM budget: see kernel)
     flat = hit.reshape(-1) > 0.0
     n_pairs = jnp.sum(flat.astype(jnp.int32))
     (pair_idx,) = jnp.nonzero(flat, size=pair_budget,
                               fill_value=n_tiles * cp)
-    pair_tile = jnp.minimum(pair_idx // cp, n_tiles - 1).astype(jnp.int32)
-    pair_cluster = jnp.minimum(pair_idx % cp, cp - 1).astype(jnp.int32)
+    pid = jnp.minimum(pair_idx, n_tiles * cp - 1).astype(jnp.int32)
     n_valid_pairs = jnp.minimum(n_pairs, pair_budget)
     overflow = jnp.maximum(n_pairs - pair_budget, 0)
 
     ray3 = pl.BlockSpec((3, TILE_RAYS),
-                        lambda p, pt, pc, npr: (0, pt[p]),
+                        lambda p, pid_, npr: (0, pid_[p] // cp),
                         memory_space=pltpu.VMEM)
     ray1 = pl.BlockSpec((1, TILE_RAYS),
-                        lambda p, pt, pc, npr: (0, pt[p]),
+                        lambda p, pid_, npr: (0, pid_[p] // cp),
                         memory_space=pltpu.VMEM)
     tvspec = pl.BlockSpec((1, 9, CLUSTER_SIZE),
-                          lambda p, pt, pc, npr: (pc[p], 0, 0),
+                          lambda p, pid_, npr: (pid_[p] % cp, 0, 0),
                           memory_space=pltpu.VMEM)
     out1 = pl.BlockSpec((1, TILE_RAYS),
-                        lambda p, pt, pc, npr: (0, pt[p]),
+                        lambda p, pid_, npr: (0, pid_[p] // cp),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(pair_budget,),
         in_specs=[ray3, ray3, ray1, ray1, tvspec],
         out_specs=(out1, pl.BlockSpec(
-            (1, TILE_RAYS), lambda p, pt, pc, npr: (0, pt[p]),
+            (1, TILE_RAYS), lambda p, pid_, npr: (0, pid_[p] // cp),
             memory_space=pltpu.VMEM)),
     )
     t_out, i_out = pl.pallas_call(
-        functools.partial(_pair_kernel, cluster_size=CLUSTER_SIZE),
+        functools.partial(_pair_kernel, cluster_size=CLUSTER_SIZE, cp=cp),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((1, np_), jnp.float32),
             jax.ShapeDtypeStruct((1, np_), jnp.int32),
         ),
         interpret=interpret,
-    )(pair_tile, pair_cluster,
-      jnp.asarray([n_valid_pairs], jnp.int32).reshape(1),
+    )(pid, jnp.asarray([n_valid_pairs], jnp.int32).reshape(1),
       oT, dT, tminP, tmaxP, clusters.tv)
 
     t = t_out[0, :n]

@@ -363,7 +363,19 @@ def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
 def _warn_pair_overflow(overflow):
     """The cluster pair budget truncates SILENTLY (dropped intersections) —
     surface it loudly at runtime instead (cf. the photon grid's occupancy
-    counter; VERDICT round 1 flagged exactly this failure class)."""
+    counter; VERDICT round 1 flagged exactly this failure class).
+
+    The axon PJRT backend has no host send/recv callbacks, so jax.debug
+    printing would abort the program there — the count is still computed
+    and returned by intersect_clusters for host-side assertions. axon
+    registers its devices under the regular "tpu" platform name, so the
+    only reliable detector is the JAX_PLATFORMS env var it was launched
+    with (tests that force the CPU backend keep the warning)."""
+    import os
+
+    if (jax.default_backend() == "tpu"
+            and "axon" in os.environ.get("JAX_PLATFORMS", "")):
+        return
     jax.lax.cond(
         overflow > 0,
         lambda ov: jax.debug.print(

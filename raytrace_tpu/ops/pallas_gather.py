@@ -167,6 +167,18 @@ def gather_radius_pallas(
 #      photon chunks HBM→VMEM with async DMA, and applies the exact
 #      dist² < r² test — same semantics as the reference's kd-tree walk
 #      (gathering.cu:25-96), cost ∝ photons actually near each tile.
+#
+# MEASURED BOTTLENECK (2026-08-20, TPU v5e, 1M photons × 262k queries):
+# preprocessing is cheap (argsort 9 ms, 10-column reorder 30 ms, query side
+# 11 ms) but the kernel scan is ~480 ms — the Morton corner span
+# [morton(c-1), morton(c+1)] vastly over-covers the 27-cell neighborhood
+# near octant boundaries, and the cell size is pinned to the MAX live
+# radius while typical footprint radii are ~10× smaller. Designed fix
+# (next round): sort by LINEAR cell id (z·G²+y·G+x) so each x-row
+# [cx-w, cx+w] is one contiguous span; emit (2W+1)² per-tile row-spans via
+# searchsorted; pick cell = max(median radius, max_radius/W) for a small
+# static W so small-radius tiles scan w=1 rows. Expect ~5× on the gather
+# and viability at the 16M-photon BASELINE scale.
 # ---------------------------------------------------------------------------
 
 GRID_CHUNK = 512

@@ -68,7 +68,9 @@ def device_debug_print(fmt: str, x, y, px: int, py: int, *values) -> None:
     (cudarender.cpp:31-33).
 
     Call inside jitted code: x/y are the current sample's pixel coords
-    (traced scalars), px/py the python-level debug pixel."""
+    (traced scalars), px/py the python-level debug pixel. NOTE: the axon
+    PJRT backend has no host callbacks — use on CPU (or a stock TPU
+    runtime), not under axon."""
 
     def emit(vals):
         jax.debug.print("[debug-pixel] " + fmt, *vals)
