@@ -173,11 +173,12 @@ def main():
     ap.add_argument("--size", type=int, default=0)
     ap.add_argument("--paths", type=int, default=0)
     ap.add_argument("--tris", action="store_true")
+    ap.add_argument("--ntris", type=int, default=1 << 20)
     ap.add_argument("--scaling", action="store_true")
     args = ap.parse_args()
 
     if args.tris:
-        print(json.dumps(run_triangle_field()))
+        print(json.dumps(run_triangle_field(n_tris=args.ntris)))
         return
     if args.scaling:
         print(json.dumps(run_scaling()))
@@ -202,7 +203,11 @@ def main():
         }))
         return
 
-    tf = _sub(["--tris"], TRIS_TIMEOUT_S)
+    # triangle scale: BASELINE config[4] asks for 4M triangles; fall back
+    # to 1M if the larger build/compile doesn't finish in time
+    tf = _sub(["--tris", "--ntris", str(1 << 22)], TRIS_TIMEOUT_S)
+    if tf is None:
+        tf = _sub(["--tris"], TRIS_TIMEOUT_S)
     if tf:
         result["extra"].update(tf)
     sc = _sub(["--scaling"], TRIS_TIMEOUT_S)

@@ -173,12 +173,9 @@ def gather_radius_pallas(
 # 11 ms) but the kernel scan is ~480 ms — the Morton corner span
 # [morton(c-1), morton(c+1)] vastly over-covers the 27-cell neighborhood
 # near octant boundaries, and the cell size is pinned to the MAX live
-# radius while typical footprint radii are ~10× smaller. Designed fix
-# (next round): sort by LINEAR cell id (z·G²+y·G+x) so each x-row
-# [cx-w, cx+w] is one contiguous span; emit (2W+1)² per-tile row-spans via
-# searchsorted; pick cell = max(median radius, max_radius/W) for a small
-# static W so small-radius tiles scan w=1 rows. Expect ~5× on the gather
-# and viability at the 16M-photon BASELINE scale.
+# radius while typical footprint radii are ~10× smaller. The fix is
+# gather_radius_pallas_rowspan below (linear cell keys + per-tile row
+# spans); this Morton kernel is kept as the simpler fallback/reference.
 # ---------------------------------------------------------------------------
 
 GRID_CHUNK = 512
@@ -350,6 +347,228 @@ def gather_radius_pallas_grid(
     L = out[:3, :n].T[unsort]
     m = out[3, :n][unsort].astype(jnp.int32)
     return L, m
+
+
+# ---------------------------------------------------------------------------
+# Row-span kernel: linear cell keys + per-tile (z, y)-row spans + a packed
+# (tile, chunk) job list — the designed fix for the Morton kernel's
+# over-coverage (see the MEASURED BOTTLENECK note above).
+#
+#   1. photons sort by LINEAR cell key (cz<<20 | cy<<10 | cx), so every
+#      (z, y) row's x-interval is ONE contiguous span of the sorted array;
+#   2. each 128-query tile's neighborhood box becomes ≤ R_MAX row spans
+#      (two searchsorted calls per row); rows have strictly increasing key
+#      ranges, so spans are disjoint;
+#   3. spans are rasterized into a [tiles, chunks] coverage mask, OR-merged
+#      (chunk-level dedup — no photon is ever scanned twice for a tile),
+#      and compacted to a tile-sorted packed job list exactly like the
+#      cluster intersector (ops/cluster_intersect.py stage B/C);
+#   4. the kernel is one [TILE_Q, chunk] distance/shade block per job, with
+#      Pallas double-buffering the photon chunks through VMEM.
+#
+# Coverage stays exact: a tile whose row count exceeds R_MAX falls back to a
+# single conservative span over its whole box, and job-budget overflow is
+# COUNTED and returned (same observability contract as the cluster
+# intersector's pair budget).
+# ---------------------------------------------------------------------------
+
+ROWSPAN_CHUNK = 512
+R_MAX = 32
+_KEY_SENTINEL = jnp.int32(0x40000000)  # > any packed key (30 bits)
+
+
+def _rowspan_kernel(pid_ref, nj_ref, qp_ref, qr2_ref, qns_ref, qkd_ref,
+                    pdata_ref, out_ref, *, n_chunks: int):
+    p = pl.program_id(0)
+    tile = pid_ref[p] // n_chunks
+    new_tile = jnp.logical_or(
+        p == 0, tile != pid_ref[jnp.maximum(p - 1, 0)] // n_chunks
+    )
+
+    @pl.when(new_tile)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(p < nj_ref[0])
+    def _():
+        qx, qy, qz = qp_ref[0, :], qp_ref[1, :], qp_ref[2, :]
+        r2 = qr2_ref[0, :]
+        nsx, nsy, nsz = qns_ref[0, :], qns_ref[1, :], qns_ref[2, :]
+        blk = pdata_ref[0]  # [ROWS, chunk]
+        px, py, pz = blk[0, :], blk[1, :], blk[2, :]
+        ax, ay, az = blk[3, :], blk[4, :], blk[5, :]
+        wx, wy, wz = blk[6, :], blk[7, :], blk[8, :]
+        pv = blk[9, :]
+
+        r = lambda a: a[:, None]
+        c = lambda a: a[None, :]
+        dx = r(qx) - c(px)
+        dy = r(qy) - c(py)
+        dz = r(qz) - c(pz)
+        dist2 = dx * dx + dy * dy + dz * dz
+        ok = (dist2 < r(r2)) & (c(pv) > 0.0)
+        w = jnp.abs(r(nsx) * c(wx) + r(nsy) * c(wy) + r(nsz) * c(wz))
+        wm = jnp.where(ok, w, 0.0)  # [TQ, chunk]
+
+        out_ref[0, :] += qkd_ref[0, :] * jnp.sum(wm * c(ax), axis=1)
+        out_ref[1, :] += qkd_ref[1, :] * jnp.sum(wm * c(ay), axis=1)
+        out_ref[2, :] += qkd_ref[2, :] * jnp.sum(wm * c(az), axis=1)
+        out_ref[3, :] += jnp.sum(ok.astype(jnp.float32), axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "chunk", "job_budget"))
+def gather_radius_pallas_rowspan(
+    photons_p: Array,      # [P, 3]
+    photons_alpha: Array,  # [P, 3]
+    photons_wi: Array,     # [P, 3]
+    photons_valid: Array,  # [P] bool
+    cell_size,             # scalar: grid cell edge, must be ≥ every radius
+    q_p: Array,            # [N, 3]
+    radius2: Array,        # [N] (0 disables the query: never matches,
+                           #      excluded from tile boxes)
+    q_ns: Array,           # [N, 3]
+    q_kd_over_pi: Array,   # [N, 3]
+    interpret: bool = False,
+    chunk: int = ROWSPAN_CHUNK,
+    job_budget: int = 1 << 17,
+) -> tuple[Array, Array, Array]:
+    """Exact radius search + photon shading over a linear-cell-sorted photon
+    grid → (L [N, 3], M [N] int32, overflow [] int32). Same contract as
+    gather_radius_pallas_grid plus the job-budget overflow count (0 = every
+    covered chunk was scanned; > 0 = some photons were missed — callers can
+    raise the budget)."""
+    from raytrace_tpu.ops import photon_grid as pg
+
+    sg = jax.lax.stop_gradient
+    q_p_s = sg(q_p)
+    radius2 = sg(radius2)
+    n = q_p.shape[0]
+    p = photons_p.shape[0]
+    cell_size = jnp.float32(cell_size)
+
+    # ---- sort photons by linear cell key (invalid → sentinel, sorts last)
+    pp = sg(photons_p)
+    pv = sg(photons_valid)
+    cell = jnp.floor(pp / cell_size).astype(jnp.int32)
+    big = jnp.int32(2**30)
+    origin = jnp.min(jnp.where(pv[:, None], cell, big), axis=0)
+    origin = jnp.where(origin == big, 0, origin)  # no valid photons
+    pcell = jnp.clip(cell - origin, 0, 1023)
+    pack = lambda z, y, x: (z << 20) | (y << 10) | x
+    pkey = jnp.where(
+        pv, pack(pcell[:, 2], pcell[:, 1], pcell[:, 0]), _KEY_SENTINEL
+    )
+    order = jnp.argsort(pkey)
+    pkey_s = pkey[order]
+
+    p_pad = -p % chunk
+    pad1 = lambda x: jnp.pad(x, (0, p_pad))
+    rows = [pp[order][:, k] for k in range(3)]
+    rows += [sg(photons_alpha)[order][:, k] for k in range(3)]
+    rows += [sg(photons_wi)[order][:, k] for k in range(3)]
+    rows += [pv[order].astype(jnp.float32)]
+    pdata = jnp.stack([pad1(rw) for rw in rows], axis=0)
+    pdata = jnp.pad(pdata, ((0, _ROWS - pdata.shape[0]), (0, 0)))
+    n_chunks = pdata.shape[1] // chunk
+    pdata = pdata.reshape(_ROWS, n_chunks, chunk).transpose(1, 0, 2)
+
+    # ---- Morton-sort queries for tile spatial coherence
+    live = radius2 > 0.0
+    qcell = jnp.clip(
+        jnp.floor(q_p_s / cell_size).astype(jnp.int32) - origin, 0, 1023
+    )
+    qkey = pg.morton3(qcell)
+    qorder = jnp.argsort(jnp.where(live, qkey, jnp.uint32(0xFFFFFFFF)))
+    unsort = jnp.argsort(qorder)
+
+    n_pad = -n % TILE_Q
+    pad_q = lambda x: jnp.pad(sg(x)[qorder].T, ((0, 0), (0, n_pad)))
+    qpT = pad_q(q_p)
+    qnsT = pad_q(q_ns)
+    qkdT = pad_q(q_kd_over_pi)
+    qr2 = jnp.pad(radius2[qorder], (0, n_pad))[None, :]  # pad r²=0: no match
+
+    # ---- per-tile neighborhood boxes over LIVE queries --------------------
+    n_tiles = (n + n_pad) // TILE_Q
+    qc_t = jnp.pad(qcell[qorder], ((0, n_pad), (0, 0))).reshape(
+        n_tiles, TILE_Q, 3)
+    live_t = jnp.pad(live[qorder], (0, n_pad)).reshape(n_tiles, TILE_Q)
+    blo = jnp.clip(jnp.min(
+        jnp.where(live_t[..., None], qc_t, big), axis=1) - 1, 0, 1023)
+    bhi = jnp.clip(jnp.max(
+        jnp.where(live_t[..., None], qc_t, -big), axis=1) + 1, 0, 1023)
+    any_live = jnp.any(live_t, axis=1)
+    nz = bhi[:, 2] - blo[:, 2] + 1
+    ny = bhi[:, 1] - blo[:, 1] + 1
+    n_rows = nz * ny
+
+    # rows r ∈ [0, R_MAX): (z, y) = box row; tiles with n_rows > R_MAX fall
+    # back to one conservative span over the whole box (exact, rarely hit)
+    r_ids = jnp.arange(R_MAX, dtype=jnp.int32)[None, :]  # [1, R_MAX]
+    fits = (n_rows <= R_MAX)[:, None]
+    valid_row = any_live[:, None] & (r_ids < n_rows[:, None])
+    zr = blo[:, 2:3] + r_ids // ny[:, None]
+    yr = blo[:, 1:2] + r_ids % ny[:, None]
+    klo_fit = pack(zr, yr, blo[:, 0:1])
+    khi_fit = pack(zr, yr, bhi[:, 0:1]) + 1
+    klo_fb = pack(blo[:, 2:3], blo[:, 1:2], blo[:, 0:1])
+    khi_fb = pack(bhi[:, 2:3], bhi[:, 1:2], bhi[:, 0:1]) + 1
+    klo = jnp.where(fits, klo_fit, jnp.where(r_ids == 0, klo_fb, 0))
+    khi = jnp.where(fits, khi_fit, jnp.where(r_ids == 0, khi_fb, 0))
+    valid_row = jnp.where(fits, valid_row, any_live[:, None] & (r_ids == 0))
+
+    lo_e = jnp.searchsorted(pkey_s, klo.ravel()).reshape(n_tiles, R_MAX)
+    hi_e = jnp.searchsorted(pkey_s, khi.ravel()).reshape(n_tiles, R_MAX)
+    has = valid_row & (lo_e < hi_e)
+    c_lo = jnp.where(has, lo_e // chunk, 0)
+    c_hi = jnp.where(has, -(-hi_e // chunk), 0)  # exclusive
+
+    # ---- rasterize spans → [tiles, chunks] coverage, OR-merged ------------
+    iota_c = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+    cov = jnp.zeros((n_tiles, n_chunks), bool)
+    for r in range(R_MAX):
+        cov = cov | ((iota_c >= c_lo[:, r:r + 1]) & (iota_c < c_hi[:, r:r + 1]))
+    # seed chunk 0 for every tile: guarantees each output block is visited
+    # (and zero-initialized) even when a tile has no covered chunks, and
+    # pins fill jobs to an already-seen tile (cluster_intersect.py:273-275)
+    cov = cov.at[:, 0].set(True)
+
+    flat = cov.reshape(-1)
+    n_jobs = jnp.sum(flat.astype(jnp.int32))
+    (job_idx,) = jnp.nonzero(flat, size=job_budget,
+                             fill_value=n_tiles * n_chunks)
+    pid = jnp.minimum(job_idx, n_tiles * n_chunks - 1).astype(jnp.int32)
+    n_valid_jobs = jnp.minimum(n_jobs, job_budget)
+    overflow = jnp.maximum(n_jobs - job_budget, 0)
+
+    q3 = pl.BlockSpec((3, TILE_Q), lambda j, pid_, nj: (0, pid_[j] // n_chunks),
+                      memory_space=pltpu.VMEM)
+    q1 = pl.BlockSpec((1, TILE_Q), lambda j, pid_, nj: (0, pid_[j] // n_chunks),
+                      memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, _ROWS, chunk),
+                         lambda j, pid_, nj: (pid_[j] % n_chunks, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out4 = pl.BlockSpec((4, TILE_Q),
+                        lambda j, pid_, nj: (0, pid_[j] // n_chunks),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(job_budget,),
+        in_specs=[q3, q1, q3, q3, pspec],
+        out_specs=out4,
+    )
+    out = pl.pallas_call(
+        functools.partial(_rowspan_kernel, n_chunks=n_chunks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, n + n_pad), jnp.float32),
+        interpret=interpret,
+    )(pid, jnp.asarray([n_valid_jobs], jnp.int32).reshape(1),
+      qpT, qr2, qnsT, qkdT, pdata)
+
+    L = out[:3, :n].T[unsort]
+    m = out[3, :n][unsort].astype(jnp.int32)
+    return L, m, overflow
 
 
 def compact_photons(photons) -> tuple:

@@ -375,6 +375,7 @@ def gathering_pass(
     kd_over_pi = mat_ops.f(scene.materials, rec.mat, wo, wo)
     from raytrace_tpu.ops.intersect import _pallas_enabled
 
+    gather_overflow = jnp.int32(0)
     if config.exact_gather:
         idl, m = photon_grid.gather_radius_dense(
             photons, rec.p, state.radius2, rec.ns, kd_over_pi
@@ -385,17 +386,21 @@ def gathering_pass(
         from raytrace_tpu.ops import pallas_gather
 
         if photons.p.shape[0] >= (1 << 14):
-            # grid-aware kernel: cost ∝ photons near each query tile
-            # (Morton-sorted spans), not total photon count — the only
-            # path that scales to the BASELINE 16M-photon config. Cell
-            # size tracks the largest LIVE radius so shrinking/footprint
-            # radii tighten the spans; miss-pixel queries are zeroed out
-            # so they never widen the cell box.
+            # row-span grid kernel: photons sorted by linear cell key,
+            # per-tile (z, y)-row spans merged into a packed (tile, chunk)
+            # job list — cost ∝ photons actually near each query tile, the
+            # only path that scales to the BASELINE 16M-photon config.
+            # Cell size tracks the largest LIVE radius so shrinking/
+            # footprint radii tighten the spans; miss-pixel queries have
+            # radius² = 0 so they never widen a tile's cell box. Job-budget
+            # overflow (photons skipped) is counted in the aux dict.
             cell_size = gather_cell_size(rec, state)
             q_r2 = jnp.where(rec.hit, state.radius2, 0.0)
-            idl, m = pallas_gather.gather_radius_pallas_grid(
-                photons.p, photons.alpha, photons.wi, photons.valid,
-                cell_size, rec.p, q_r2, rec.ns, kd_over_pi,
+            idl, m, gather_overflow = (
+                pallas_gather.gather_radius_pallas_rowspan(
+                    photons.p, photons.alpha, photons.wi, photons.valid,
+                    cell_size, rec.p, q_r2, rec.ns, kd_over_pi,
+                )
             )
             n_valid = jnp.sum(photons.valid).astype(jnp.int32)
         else:
@@ -415,6 +420,7 @@ def gathering_pass(
         )
         info = dict(valid_photons=grid.n_valid,
                     max_cell_occupancy=photon_grid.max_cell_occupancy(grid))
+    info["gather_overflow"] = gather_overflow
 
     m = jnp.where(rec.hit, m, 0)
     a = jnp.float32(config.ppm_alpha)
@@ -612,17 +618,18 @@ def _render_photon(
     # pass index compiles ONE wave regardless of photon_passes — pass_idx
     # only feeds RNG fold_ins, so the trace is pass-independent.
     def wave(carry, p):
-        state, vp, occ = carry
+        state, vp, occ, ovf = carry
         photons = trace_photons(scene, config, k_photon, p)
         state, info = gathering_pass(scene, rec, state, photons, config)
         return (
             state,
             vp + info["valid_photons"],
             jnp.maximum(occ, info["max_cell_occupancy"]),
+            ovf + info["gather_overflow"],
         ), None
 
-    (state, valid_photons, max_occ), _ = jax.lax.scan(
-        wave, (state, jnp.int32(0), jnp.int32(0)),
+    (state, valid_photons, max_occ, gather_ovf), _ = jax.lax.scan(
+        wave, (state, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
         jnp.arange(config.photon_passes),
     )
 
@@ -632,6 +639,7 @@ def _render_photon(
     aux = dict(
         valid_photons=valid_photons,
         max_cell_occupancy=max_occ,
+        gather_overflow=gather_ovf,
         mean_radius2=jnp.mean(jnp.where(rec.hit, state.radius2, 0.0)),
         mean_photon_count=jnp.mean(state.photon_count),
     )

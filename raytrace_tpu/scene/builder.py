@@ -386,10 +386,15 @@ class SceneBuilder:
         shape — sized only when distant lights need a launch disk."""
         lo = np.full(3, np.inf)
         hi = np.full(3, -np.inf)
-        if tris_np["v0"].shape[0]:
+        # mat < 0 marks the degenerate far-away padding triangle inserted for
+        # triangle-free scenes (scene.empty_triangles, vertices at 1e30) —
+        # including it would blow the distant-light disk area past f32 range
+        real = np.asarray(tris_np["mat"]) >= 0
+        if real.any():
             for k in ("v0", "v1", "v2"):
-                lo = np.minimum(lo, tris_np[k].min(axis=0))
-                hi = np.maximum(hi, tris_np[k].max(axis=0))
+                vs = tris_np[k][real]
+                lo = np.minimum(lo, vs.min(axis=0))
+                hi = np.maximum(hi, vs.max(axis=0))
         for _, rec in self._spheres:
             c = tr.apply_point(rec["o2w"], np.zeros(3))
             lo = np.minimum(lo, c - rec["radius"])

@@ -192,3 +192,86 @@ def test_pallas_winner_reintersection_is_differentiable():
     g = jax.grad(f)(o)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0.0
+
+def test_pallas_rowspan_gather_matches_dense():
+    """The row-span kernel (linear cell keys, per-tile (z,y)-row spans,
+    packed job list) must reproduce the exact dense gather, including
+    r²=0-disabled queries, invalid photons, and off-tile-boundary counts."""
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+    from raytrace_tpu.ops import photon_grid as pg
+
+    rng = np.random.default_rng(41)
+    P, N = 3000, 300
+    cell = 0.5
+    centers = rng.uniform(-3, 3, (12, 3))
+    p = (centers[rng.integers(0, 12, P)] +
+         rng.normal(scale=0.4, size=(P, 3))).astype(np.float32)
+    alpha = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    wi = rng.normal(size=(P, 3)).astype(np.float32)
+    wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+    valid = rng.uniform(size=P) < 0.8
+
+    qp = rng.uniform(-3.5, 3.5, (N, 3)).astype(np.float32)
+    r2 = rng.uniform(0.01, cell * cell, N).astype(np.float32)
+    r2[rng.uniform(size=N) < 0.2] = 0.0  # disabled (miss-pixel) queries
+    ns = rng.normal(size=(N, 3)).astype(np.float32)
+    ns /= np.linalg.norm(ns, axis=-1, keepdims=True)
+    kd = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+
+    photons = pg.PhotonMap(p=jnp.asarray(p), alpha=jnp.asarray(alpha),
+                           wi=jnp.asarray(wi), valid=jnp.asarray(valid))
+    L_ref, m_ref = pg.gather_radius_dense(
+        photons, jnp.asarray(qp), jnp.asarray(r2), jnp.asarray(ns),
+        jnp.asarray(kd),
+    )
+    L, m, ovf = pg_pallas.gather_radius_pallas_rowspan(
+        photons.p, photons.alpha, photons.wi, photons.valid, cell,
+        jnp.asarray(qp), jnp.asarray(r2), jnp.asarray(ns), jnp.asarray(kd),
+        interpret=True, chunk=256,
+    )
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+
+
+def test_pallas_rowspan_gather_overflow_counted():
+    """With a tiny job budget the kernel must COUNT the jobs it skipped
+    rather than silently truncating (observability contract)."""
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+
+    rng = np.random.default_rng(7)
+    P, N = 4096, 260
+    p = rng.uniform(-4, 4, (P, 3)).astype(np.float32)
+    alpha = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    wi = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (P, 1))
+    qp = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    r2 = np.full(N, 0.25, np.float32)
+    ns = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (N, 1))
+    kd = np.full((N, 3), 0.3, np.float32)
+    _, _, ovf = pg_pallas.gather_radius_pallas_rowspan(
+        jnp.asarray(p), jnp.asarray(alpha), jnp.asarray(wi),
+        jnp.ones((P,), bool), 0.5, jnp.asarray(qp), jnp.asarray(r2),
+        jnp.asarray(ns), jnp.asarray(kd), interpret=True, chunk=128,
+        job_budget=4,
+    )
+    assert int(ovf) > 0
+
+
+def test_pallas_rowspan_gather_no_valid_photons():
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+
+    rng = np.random.default_rng(5)
+    P, N = 300, 130
+    p = rng.uniform(-1, 1, (P, 3)).astype(np.float32)
+    z3 = jnp.zeros((P, 3), jnp.float32)
+    L, m, ovf = pg_pallas.gather_radius_pallas_rowspan(
+        jnp.asarray(p), z3, z3, jnp.zeros((P,), bool), 1.0,
+        jnp.asarray(rng.uniform(-1, 1, (N, 3)).astype(np.float32)),
+        jnp.full((N,), 0.5, jnp.float32),
+        jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (N, 1)),
+        jnp.full((N, 3), 0.3, jnp.float32),
+        interpret=True, chunk=128,
+    )
+    assert np.asarray(m).sum() == 0
+    assert np.abs(np.asarray(L)).sum() == 0.0

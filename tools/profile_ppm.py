@@ -1,0 +1,89 @@
+"""Per-pass TPU timing of the PPM pipeline at the headline config.
+
+Times camera pass, direct lighting, photon trace, gather, and the full
+pipeline separately so optimization targets the real hot spot.
+Run: python tools/profile_ppm.py [--size 512] [--paths 262144]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from raytrace_tpu.core.config import RenderConfig
+from raytrace_tpu.ops import photon_grid
+from raytrace_tpu.renderers import common
+from raytrace_tpu.renderers import photon as ph
+from raytrace_tpu.scene import presets
+from raytrace_tpu.scene.camera import generate_rays, pixel_samples
+
+
+def bench(name, fn, *args, iters=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:28s} {dt * 1e3:9.2f} ms")
+    return out, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--paths", type=int, default=262144)
+    ap.add_argument("--no-compact", action="store_true")
+    args = ap.parse_args()
+    size = args.size
+
+    config = RenderConfig(
+        width=size, height=size, spp=1, scene_epsilon=1e-3,
+        photon_paths=args.paths, photon_passes=1, max_photon_bounces=8,
+        footprint_radius_scale=8.0,
+        wavefront_compact=not args.no_compact,
+    )
+    scene, camera = presets.cornell_box(size=size, ball="glass")
+    light_samples = common.static_light_samples(scene, config)
+    key = jax.random.PRNGKey(0)
+    k_pix, k_light, k_photon = jax.random.split(key, 3)
+
+    xy, lens = pixel_samples(k_pix, size, size, 1, jitter=True)
+    rays = generate_rays(camera, xy, lens, 1)
+
+    cam = jax.jit(lambda o, d: common.camera_pass(scene, o, d, config,
+                                                  rays=rays))
+    rec, t_cam = bench("camera_pass", cam, rays.o, rays.d)
+
+    dl = jax.jit(lambda rec, k: common.direct_lighting(
+        scene, rec, k, config, light_samples, include_emitted=True))
+    direct, t_dl = bench("direct_lighting", dl, rec, k_light)
+
+    tp = jax.jit(lambda k: ph.trace_photons(scene, config, k, 0))
+    photons, t_tp = bench("photon_trace", tp, k_photon)
+
+    state = ph.ProgressiveState(
+        radius2=ph.initial_radius2(rec, config),
+        photon_count=jnp.zeros((rays.o.shape[0],), jnp.float32),
+        flux=jnp.zeros((rays.o.shape[0], 3), jnp.float32),
+    )
+    gp = jax.jit(lambda rec, st, pm: ph.gathering_pass(
+        scene, rec, st, pm, config))
+    (_, _), t_g = bench("gathering_pass", gp, rec, state, photons)
+
+    full = jax.jit(lambda k: ph.render_photon(scene, camera, config, k))
+    _, t_full = bench("FULL pipeline", full, key)
+    parts = t_cam + t_dl + t_tp + t_g
+    print(f"{'sum of parts':28s} {parts * 1e3:9.2f} ms")
+    print(f"rays/s (full): {size * size / t_full:,.0f}")
+
+
+if __name__ == "__main__":
+    main()
