@@ -370,15 +370,28 @@ def gather_radius_pallas_grid(
 # single conservative span over its whole box, and job-budget overflow is
 # COUNTED and returned (same observability contract as the cluster
 # intersector's pair budget).
+#
+# DIFFERENTIABILITY: the kernel accumulates the raw weighted-flux sum
+#     S[q] = Σ_{p: dist²<r²} |n_s·wi_p| · α_p          (and the count M)
+# and the Lambert kd/π factor multiplies OUTSIDE the kernel, so L = kd·S gets
+# its kd gradient from plain AD. S is linear in α with weights that depend
+# only on stop-gradient geometry, so its VJP is the TRANSPOSED accumulation
+# over the exact same job list — `_rowspan_bwd_kernel` walks the jobs sorted
+# chunk-major (photon-major) and accumulates dα chunks instead of query
+# tiles. This is what makes the backward pass TPU-real: fwd+bwd both run the
+# sparse Pallas path (reference estimator being differentiated:
+# gathering.cu:104-146, which has no backward at all).
 # ---------------------------------------------------------------------------
 
 ROWSPAN_CHUNK = 512
 R_MAX = 32
+_GROWS = 8   # photon geometry rows: px py pz wx wy wz valid + 1 pad
+_AROWS = 8   # photon alpha rows: ax ay az + 5 pad (f32 tile = 8×128)
 _KEY_SENTINEL = jnp.int32(0x40000000)  # > any packed key (30 bits)
 
 
-def _rowspan_kernel(pid_ref, nj_ref, qp_ref, qr2_ref, qns_ref, qkd_ref,
-                    pdata_ref, out_ref, *, n_chunks: int):
+def _rowspan_kernel(pid_ref, nj_ref, qp_ref, qr2_ref, qns_ref,
+                    gdata_ref, adata_ref, out_ref, *, n_chunks: int):
     p = pl.program_id(0)
     tile = pid_ref[p] // n_chunks
     new_tile = jnp.logical_or(
@@ -394,11 +407,11 @@ def _rowspan_kernel(pid_ref, nj_ref, qp_ref, qr2_ref, qns_ref, qkd_ref,
         qx, qy, qz = qp_ref[0, :], qp_ref[1, :], qp_ref[2, :]
         r2 = qr2_ref[0, :]
         nsx, nsy, nsz = qns_ref[0, :], qns_ref[1, :], qns_ref[2, :]
-        blk = pdata_ref[0]  # [ROWS, chunk]
+        blk = gdata_ref[0]  # [GROWS, chunk]
         px, py, pz = blk[0, :], blk[1, :], blk[2, :]
-        ax, ay, az = blk[3, :], blk[4, :], blk[5, :]
-        wx, wy, wz = blk[6, :], blk[7, :], blk[8, :]
-        pv = blk[9, :]
+        wx, wy, wz = blk[3, :], blk[4, :], blk[5, :]
+        pv = blk[6, :]
+        alpha = adata_ref[0]  # [AROWS, chunk]
 
         r = lambda a: a[:, None]
         c = lambda a: a[None, :]
@@ -410,10 +423,154 @@ def _rowspan_kernel(pid_ref, nj_ref, qp_ref, qr2_ref, qns_ref, qkd_ref,
         w = jnp.abs(r(nsx) * c(wx) + r(nsy) * c(wy) + r(nsz) * c(wz))
         wm = jnp.where(ok, w, 0.0)  # [TQ, chunk]
 
-        out_ref[0, :] += qkd_ref[0, :] * jnp.sum(wm * c(ax), axis=1)
-        out_ref[1, :] += qkd_ref[1, :] * jnp.sum(wm * c(ay), axis=1)
-        out_ref[2, :] += qkd_ref[2, :] * jnp.sum(wm * c(az), axis=1)
+        out_ref[0, :] += jnp.sum(wm * c(alpha[0, :]), axis=1)
+        out_ref[1, :] += jnp.sum(wm * c(alpha[1, :]), axis=1)
+        out_ref[2, :] += jnp.sum(wm * c(alpha[2, :]), axis=1)
         out_ref[3, :] += jnp.sum(ok.astype(jnp.float32), axis=1)
+
+
+def _rowspan_bwd_kernel(pid_ref, nj_ref, qp_ref, qr2_ref, qns_ref,
+                        cot_ref, gdata_ref, dout_ref, *, n_chunks: int):
+    """Transpose of _rowspan_kernel w.r.t. alpha: same per-job [TILE_Q, chunk]
+    weight matrix, accumulated into PHOTON chunks (jobs arrive chunk-major, so
+    consecutive grid steps hitting one chunk accumulate in VMEM)."""
+    p = pl.program_id(0)
+    chunk_id = pid_ref[p] % n_chunks
+    new_chunk = jnp.logical_or(
+        p == 0, chunk_id != pid_ref[jnp.maximum(p - 1, 0)] % n_chunks
+    )
+
+    @pl.when(new_chunk)
+    def _():
+        dout_ref[:] = jnp.zeros_like(dout_ref)
+
+    @pl.when(p < nj_ref[0])
+    def _():
+        qx, qy, qz = qp_ref[0, :], qp_ref[1, :], qp_ref[2, :]
+        r2 = qr2_ref[0, :]
+        nsx, nsy, nsz = qns_ref[0, :], qns_ref[1, :], qns_ref[2, :]
+        blk = gdata_ref[0]
+        px, py, pz = blk[0, :], blk[1, :], blk[2, :]
+        wx, wy, wz = blk[3, :], blk[4, :], blk[5, :]
+        pv = blk[6, :]
+
+        r = lambda a: a[:, None]
+        c = lambda a: a[None, :]
+        dx = r(qx) - c(px)
+        dy = r(qy) - c(py)
+        dz = r(qz) - c(pz)
+        dist2 = dx * dx + dy * dy + dz * dz
+        ok = (dist2 < r(r2)) & (c(pv) > 0.0)
+        w = jnp.abs(r(nsx) * c(wx) + r(nsy) * c(wy) + r(nsz) * c(wz))
+        wm = jnp.where(ok, w, 0.0)  # [TQ, chunk]
+
+        dout_ref[0, 0, :] += jnp.sum(wm * cot_ref[0, :][:, None], axis=0)
+        dout_ref[0, 1, :] += jnp.sum(wm * cot_ref[1, :][:, None], axis=0)
+        dout_ref[0, 2, :] += jnp.sum(wm * cot_ref[2, :][:, None], axis=0)
+
+
+def _rowspan_S_impl(n_chunks, chunk, job_budget, interpret,
+                    adata, gdata, qpT, qr2, qnsT, pid, n_valid_jobs):
+    """Primal: packed-job-list sparse gather → [4, NQ] (S rgb rows + M row).
+    Query tiles whose jobs were truncated by the budget carry GARBAGE here
+    (their output blocks are never visited); the caller masks them — see
+    gather_radius_pallas_rowspan's `tile_ok`."""
+    nq = qpT.shape[1]
+    q3 = pl.BlockSpec((3, TILE_Q), lambda j, pid_, nj: (0, pid_[j] // n_chunks),
+                      memory_space=pltpu.VMEM)
+    q1 = pl.BlockSpec((1, TILE_Q), lambda j, pid_, nj: (0, pid_[j] // n_chunks),
+                      memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((1, _GROWS, chunk),
+                         lambda j, pid_, nj: (pid_[j] % n_chunks, 0, 0),
+                         memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((1, _AROWS, chunk),
+                         lambda j, pid_, nj: (pid_[j] % n_chunks, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out4 = pl.BlockSpec((4, TILE_Q),
+                        lambda j, pid_, nj: (0, pid_[j] // n_chunks),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(job_budget,),
+        in_specs=[q3, q1, q3, gspec, aspec],
+        out_specs=out4,
+    )
+    return pl.pallas_call(
+        functools.partial(_rowspan_kernel, n_chunks=n_chunks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, nq), jnp.float32),
+        interpret=interpret,
+    )(pid, jnp.asarray([n_valid_jobs], jnp.int32).reshape(1),
+      qpT, qr2, qnsT, gdata, adata)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _rowspan_S(n_chunks, chunk, job_budget, interpret,
+               adata, gdata, qpT, qr2, qnsT, pid, n_valid_jobs):
+    return _rowspan_S_impl(n_chunks, chunk, job_budget, interpret,
+                           adata, gdata, qpT, qr2, qnsT, pid, n_valid_jobs)
+
+
+def _rowspan_S_fwd(n_chunks, chunk, job_budget, interpret,
+                   adata, gdata, qpT, qr2, qnsT, pid, n_valid_jobs):
+    out = _rowspan_S_impl(n_chunks, chunk, job_budget, interpret,
+                          adata, gdata, qpT, qr2, qnsT, pid, n_valid_jobs)
+    return out, (gdata, qpT, qr2, qnsT, pid, n_valid_jobs)
+
+
+def _rowspan_S_bwd(n_chunks, chunk, job_budget, interpret, res, cot):
+    import numpy as np
+
+    gdata, qpT, qr2, qnsT, pid, n_valid_jobs = res
+    n_tiles = qpT.shape[1] // TILE_Q
+    jobs = jnp.arange(job_budget, dtype=jnp.int32)
+    valid_job = jobs < n_valid_jobs
+    # chunk-major job order (ties broken by tile; invalid jobs sort last)
+    sort_key = jnp.where(
+        valid_job,
+        (pid % n_chunks) * n_tiles + pid // n_chunks,
+        jnp.int32(n_chunks * n_tiles),
+    )
+    pid_b = pid[jnp.argsort(sort_key)]
+
+    q3 = pl.BlockSpec((3, TILE_Q), lambda j, pid_, nj: (0, pid_[j] // n_chunks),
+                      memory_space=pltpu.VMEM)
+    q1 = pl.BlockSpec((1, TILE_Q), lambda j, pid_, nj: (0, pid_[j] // n_chunks),
+                      memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((1, _GROWS, chunk),
+                         lambda j, pid_, nj: (pid_[j] % n_chunks, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, _AROWS, chunk),
+                         lambda j, pid_, nj: (pid_[j] % n_chunks, 0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(job_budget,),
+        in_specs=[q3, q1, q3, q3, gspec],
+        out_specs=dspec,
+    )
+    dadata = pl.pallas_call(
+        functools.partial(_rowspan_bwd_kernel, n_chunks=n_chunks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks, _AROWS, chunk), jnp.float32),
+        interpret=interpret,
+    )(pid_b, jnp.asarray([n_valid_jobs], jnp.int32).reshape(1),
+      qpT, qr2, qnsT, cot[:3], gdata)
+
+    # chunks never visited by any job have undefined output blocks → zero them
+    # (their true gradient is zero: no query tile scans those photons)
+    covered = jnp.zeros((n_chunks,), bool).at[
+        jnp.where(valid_job, pid % n_chunks, n_chunks)
+    ].set(True, mode="drop")
+    dadata = jnp.where(covered[:, None, None], dadata, 0.0)
+
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (dadata, jnp.zeros_like(gdata), jnp.zeros_like(qpT),
+            jnp.zeros_like(qr2), jnp.zeros_like(qnsT), f0(pid),
+            f0(n_valid_jobs))
+
+
+_rowspan_S.defvjp(_rowspan_S_fwd, _rowspan_S_bwd)
 
 
 @functools.partial(
@@ -435,9 +592,19 @@ def gather_radius_pallas_rowspan(
 ) -> tuple[Array, Array, Array]:
     """Exact radius search + photon shading over a linear-cell-sorted photon
     grid → (L [N, 3], M [N] int32, overflow [] int32). Same contract as
-    gather_radius_pallas_grid plus the job-budget overflow count (0 = every
-    covered chunk was scanned; > 0 = some photons were missed — callers can
-    raise the budget)."""
+    gather_radius_pallas_grid plus the job-budget overflow count.
+
+    DIFFERENTIABLE in photons_alpha and q_kd_over_pi: kd multiplies outside
+    the kernel (plain AD) and the weighted-flux sum has a custom VJP running
+    the transposed Pallas accumulation over the same job list (_rowspan_S).
+    All geometry (positions, radii, normals, validity) is stop-gradiented.
+
+    Overflow semantics (defined output, no garbage): the packed job list is
+    tile-major and truncation cuts a SUFFIX, so every tile before the last
+    included one is scanned completely. On overflow > 0, queries in the last
+    (possibly partial) tile and all later tiles return L = 0, M = 0 — their
+    progressive state simply doesn't advance that wave. overflow == 0 means
+    every covered chunk was scanned (exact)."""
     from raytrace_tpu.ops import photon_grid as pg
 
     sg = jax.lax.stop_gradient
@@ -464,14 +631,20 @@ def gather_radius_pallas_rowspan(
 
     p_pad = -p % chunk
     pad1 = lambda x: jnp.pad(x, (0, p_pad))
-    rows = [pp[order][:, k] for k in range(3)]
-    rows += [sg(photons_alpha)[order][:, k] for k in range(3)]
-    rows += [sg(photons_wi)[order][:, k] for k in range(3)]
-    rows += [pv[order].astype(jnp.float32)]
-    pdata = jnp.stack([pad1(rw) for rw in rows], axis=0)
-    pdata = jnp.pad(pdata, ((0, _ROWS - pdata.shape[0]), (0, 0)))
-    n_chunks = pdata.shape[1] // chunk
-    pdata = pdata.reshape(_ROWS, n_chunks, chunk).transpose(1, 0, 2)
+    # geometry rows (stop-gradient) and alpha rows (differentiable) are
+    # separate tensors so the custom VJP boundary sits exactly on alpha
+    grows = [pp[order][:, k] for k in range(3)]
+    grows += [sg(photons_wi)[order][:, k] for k in range(3)]
+    grows += [pv[order].astype(jnp.float32)]
+    gdata = jnp.stack([pad1(rw) for rw in grows], axis=0)
+    gdata = jnp.pad(gdata, ((0, _GROWS - gdata.shape[0]), (0, 0)))
+    n_chunks = gdata.shape[1] // chunk
+    gdata = gdata.reshape(_GROWS, n_chunks, chunk).transpose(1, 0, 2)
+    adata = jnp.stack(
+        [pad1(photons_alpha[order][:, k]) for k in range(3)], axis=0
+    )
+    adata = jnp.pad(adata, ((0, _AROWS - adata.shape[0]), (0, 0)))
+    adata = adata.reshape(_AROWS, n_chunks, chunk).transpose(1, 0, 2)
 
     # ---- Morton-sort queries for tile spatial coherence
     live = radius2 > 0.0
@@ -486,7 +659,6 @@ def gather_radius_pallas_rowspan(
     pad_q = lambda x: jnp.pad(sg(x)[qorder].T, ((0, 0), (0, n_pad)))
     qpT = pad_q(q_p)
     qnsT = pad_q(q_ns)
-    qkdT = pad_q(q_kd_over_pi)
     qr2 = jnp.pad(radius2[qorder], (0, n_pad))[None, :]  # pad r²=0: no match
 
     # ---- per-tile neighborhood boxes over LIVE queries --------------------
@@ -542,32 +714,24 @@ def gather_radius_pallas_rowspan(
     n_valid_jobs = jnp.minimum(n_jobs, job_budget)
     overflow = jnp.maximum(n_jobs - job_budget, 0)
 
-    q3 = pl.BlockSpec((3, TILE_Q), lambda j, pid_, nj: (0, pid_[j] // n_chunks),
-                      memory_space=pltpu.VMEM)
-    q1 = pl.BlockSpec((1, TILE_Q), lambda j, pid_, nj: (0, pid_[j] // n_chunks),
-                      memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((1, _ROWS, chunk),
-                         lambda j, pid_, nj: (pid_[j] % n_chunks, 0, 0),
-                         memory_space=pltpu.VMEM)
-    out4 = pl.BlockSpec((4, TILE_Q),
-                        lambda j, pid_, nj: (0, pid_[j] // n_chunks),
-                        memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(job_budget,),
-        in_specs=[q3, q1, q3, q3, pspec],
-        out_specs=out4,
-    )
-    out = pl.pallas_call(
-        functools.partial(_rowspan_kernel, n_chunks=n_chunks),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, n + n_pad), jnp.float32),
-        interpret=interpret,
-    )(pid, jnp.asarray([n_valid_jobs], jnp.int32).reshape(1),
-      qpT, qr2, qnsT, qkdT, pdata)
+    out = _rowspan_S(n_chunks, chunk, job_budget, interpret,
+                     adata, gdata, qpT, qr2, qnsT, pid, n_valid_jobs)
 
-    L = out[:3, :n].T[unsort]
-    m = out[3, :n][unsort].astype(jnp.int32)
+    # Defined output under budget overflow: truncation cuts a tile-major
+    # SUFFIX, so tiles strictly before the last included job's tile were
+    # scanned completely; the last tile may be partial and later tiles'
+    # output blocks were never visited (uninitialized). Mask the partial +
+    # unvisited tiles to zero (no flux, M = 0 → no progressive update).
+    last_tile = pid[jnp.maximum(n_valid_jobs, 1) - 1] // n_chunks
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_ok = jnp.where(overflow > 0, tile_ids < last_tile,
+                        tile_ids <= last_tile)
+    q_ok = jnp.repeat(tile_ok, TILE_Q)  # [n + n_pad], sorted-query order
+    out = jnp.where(q_ok[None, :], out, 0.0)
+
+    S = out[:3, :n].T[unsort]
+    L = q_kd_over_pi * S
+    m = jax.lax.stop_gradient(out[3, :n][unsort]).astype(jnp.int32)
     return L, m, overflow
 
 

@@ -82,7 +82,7 @@ def _radiance_shard(
     paths_local = max(1, config.photon_paths // n_chips)
     cfg_local = dataclasses.replace(config, photon_paths=paths_local)
 
-    for p in range(config.photon_passes):
+    def wave(state, p):
         # disjoint global photon-id slice per chip
         photons_local = photon_renderer.trace_photons(
             scene, cfg_local, k_photon, p, path_offset=chip * paths_local
@@ -94,6 +94,13 @@ def _radiance_shard(
         state, _ = photon_renderer.gathering_pass(
             scene, rec, state, photons_all, config
         )
+        return state, None
+
+    # scan compiles ONE wave regardless of photon_passes (the single-chip
+    # renderer scans too — an unrolled loop here was pure compile bloat)
+    state, _ = jax.lax.scan(
+        wave, state, jnp.arange(config.photon_passes)
+    )
 
     emitting = jnp.float32(paths_local * n_chips * config.photon_passes)
     return photon_renderer.final_gathering(rec, direct, state, emitting)

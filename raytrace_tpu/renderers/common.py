@@ -337,21 +337,50 @@ def direct_lighting(
     u2d = layout.materialize_2d(key, sample_ids)  # [N, total, 2]
 
     eps = config.shadow_epsilon
-    for i, ns_i in enumerate(light_samples):
-        for s in range(ns_i):
-            u = u2d[:, offsets[i] + s]
-            li, uwi, pdf = light_ops.sample_L_illum(scene.lights, i, rec.p, u)
-            shadowed = isect_ops.occluded(
-                scene, rec.p, uwi,
-                jnp.full((n,), eps, jnp.float32),
-                jnp.full((n,), 1.0 - eps, jnp.float32),
-            )
-            wi = vec.normalize(uwi)
-            fr = mat_ops.f(scene.materials, rec.mat, wo, wi)
-            cos = vec.absdot(rec.ns, wi)
-            good = hit & ~shadowed & (pdf > 0.0) & (vec.length_squared(li) > 0.0)
-            contrib = cos[:, None] * fr * li / (pdf[:, None] * ns_i)
-            L += jnp.where(good[:, None], contrib, 0.0)
+
+    def one_sample(L, i, col, inv_ns):
+        """Contribution of one (light, stratified-sample) pair. `i`/`col` may
+        be traced (scan) or static (direct call)."""
+        u = u2d[:, col] if isinstance(col, int) else jnp.take(
+            u2d, col, axis=1
+        )
+        li, uwi, pdf = light_ops.sample_L_illum(scene.lights, i, rec.p, u)
+        shadowed = isect_ops.occluded(
+            scene, rec.p, uwi,
+            jnp.full((n,), eps, jnp.float32),
+            jnp.full((n,), 1.0 - eps, jnp.float32),
+        )
+        wi = vec.normalize(uwi)
+        fr = mat_ops.f(scene.materials, rec.mat, wo, wi)
+        cos = vec.absdot(rec.ns, wi)
+        good = hit & ~shadowed & (pdf > 0.0) & (vec.length_squared(li) > 0.0)
+        contrib = cos[:, None] * fr * li * (inv_ns / jnp.where(
+            pdf == 0.0, 1.0, pdf
+        ))[:, None]
+        return L + jnp.where(good[:, None], contrib, 0.0)
+
+    # flattened (light, sample) work list. A Python loop here would inline
+    # one intersector per light sample into the graph (the round-2
+    # cold-compile regression); lax.scan compiles the shadow pass ONCE.
+    pairs = [
+        (i, offsets[i] + s, 1.0 / ns_i)
+        for i, ns_i in enumerate(light_samples)
+        for s in range(ns_i)
+    ]
+    if len(pairs) == 0:
+        pass
+    elif len(pairs) == 1:
+        i, col, inv_ns = pairs[0]
+        L = one_sample(L, i, col, jnp.float32(inv_ns))
+    else:
+        xs = (
+            jnp.asarray([p[0] for p in pairs], jnp.int32),
+            jnp.asarray([p[1] for p in pairs], jnp.int32),
+            jnp.asarray([p[2] for p in pairs], jnp.float32),
+        )
+        L, _ = jax.lax.scan(
+            lambda L, x: (one_sample(L, x[0], x[1], x[2]), None), L, xs
+        )
     return jnp.where(hit[:, None], L, 0.0)
 
 

@@ -382,7 +382,7 @@ def gathering_pass(
         )
         info = dict(valid_photons=jnp.sum(photons.valid).astype(jnp.int32),
                     max_cell_occupancy=jnp.int32(-1))  # -1 = exact path
-    elif not config.differentiable and _pallas_enabled():
+    elif _pallas_enabled():
         from raytrace_tpu.ops import pallas_gather
 
         if photons.p.shape[0] >= (1 << 14):
@@ -393,7 +393,10 @@ def gathering_pass(
             # Cell size tracks the largest LIVE radius so shrinking/
             # footprint radii tighten the spans; miss-pixel queries have
             # radius² = 0 so they never widen a tile's cell box. Job-budget
-            # overflow (photons skipped) is counted in the aux dict.
+            # overflow is counted in the aux dict; overflowed tiles return
+            # L = 0, M = 0 (defined output — those pixels skip the wave).
+            # DIFFERENTIABLE: custom VJP over the same job list
+            # (pallas_gather._rowspan_S), so fwd+bwd both run this kernel.
             cell_size = gather_cell_size(rec, state)
             q_r2 = jnp.where(rec.hit, state.radius2, 0.0)
             idl, m, gather_overflow = (
@@ -401,6 +404,13 @@ def gathering_pass(
                     photons.p, photons.alpha, photons.wi, photons.valid,
                     cell_size, rec.p, q_r2, rec.ns, kd_over_pi,
                 )
+            )
+            n_valid = jnp.sum(photons.valid).astype(jnp.int32)
+        elif config.differentiable:
+            # small maps under AD: exact streamed all-pairs (linear in
+            # alpha/kd, no truncation budget anywhere on the AD path)
+            idl, m = photon_grid.gather_radius_dense(
+                photons, rec.p, state.radius2, rec.ns, kd_over_pi
             )
             n_valid = jnp.sum(photons.valid).astype(jnp.int32)
         else:

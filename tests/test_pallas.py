@@ -275,3 +275,90 @@ def test_pallas_rowspan_gather_no_valid_photons():
     )
     assert np.asarray(m).sum() == 0
     assert np.abs(np.asarray(L)).sum() == 0.0
+
+
+def _rowspan_fixture(seed=3, P=3000, N=500):
+    rng = np.random.default_rng(seed)
+    pp = rng.uniform(0, 8, (P, 3)).astype(np.float32)
+    pa = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    pw = rng.normal(size=(P, 3)).astype(np.float32)
+    pw /= np.linalg.norm(pw, axis=1, keepdims=True)
+    pv = rng.uniform(size=P) < 0.8
+    qp = rng.uniform(0, 8, (N, 3)).astype(np.float32)
+    r2 = rng.uniform(0.01, 0.4, N).astype(np.float32)
+    ns = rng.normal(size=(N, 3)).astype(np.float32)
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    kd = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+    return tuple(jnp.asarray(x) for x in (pp, pa, pw, pv, qp, r2, ns, kd))
+
+
+def test_pallas_rowspan_custom_vjp_matches_dense_ad():
+    """The rowspan gather's custom VJP (transposed Pallas accumulation over
+    the same job list) must produce the same dalpha/dkd as plain AD through
+    the exact dense gather — this is the kernel the fwd+bwd TPU path runs."""
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+    from raytrace_tpu.ops import photon_grid as pg
+
+    pp, pa, pw, pv, qp, r2, ns, kd = _rowspan_fixture()
+    cell = float(jnp.sqrt(r2.max()))
+    pm = pg.PhotonMap(p=pp, alpha=pa, wi=pw, valid=pv)
+    rng = np.random.default_rng(11)
+    cot = jnp.asarray(rng.normal(size=qp.shape).astype(np.float32))
+
+    def f_rs(alpha, kd_):
+        L, _, _ = pg_pallas.gather_radius_pallas_rowspan(
+            pp, alpha, pw, pv, cell, qp, r2, ns, kd_,
+            interpret=True, chunk=256,
+        )
+        return jnp.sum(L * cot)
+
+    def f_dense(alpha, kd_):
+        L, _ = pg.gather_radius_dense(pm.replace(alpha=alpha), qp, r2, ns, kd_)
+        return jnp.sum(L * cot)
+
+    g1 = jax.grad(f_rs, argnums=(0, 1))(pa, kd)
+    g2 = jax.grad(f_dense, argnums=(0, 1))(pa, kd)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_rowspan_overflow_defined_output():
+    """Budget overflow must yield DEFINED output: fully-scanned tiles exact,
+    the partial/unvisited tail exactly (L, M) = 0 — never garbage (the
+    round-2 advisor finding). Gradients stay finite under overflow."""
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+    from raytrace_tpu.ops import photon_grid as pg
+
+    pp, pa, pw, pv, qp, r2, ns, kd = _rowspan_fixture(seed=9)
+    cell = float(jnp.sqrt(r2.max()))
+    pm = pg.PhotonMap(p=pp, alpha=pa, wi=pw, valid=pv)
+    L_ref, m_ref = pg.gather_radius_dense(pm, qp, r2, ns, kd)
+
+    L, m, ovf = pg_pallas.gather_radius_pallas_rowspan(
+        pp, pa, pw, pv, cell, qp, r2, ns, kd,
+        interpret=True, chunk=256, job_budget=30,
+    )
+    assert int(ovf) > 0
+    assert np.isfinite(np.asarray(L)).all()
+    covered = np.asarray(m) > 0
+    assert covered.any()  # some tiles were fully scanned within the budget
+    np.testing.assert_allclose(np.asarray(L)[covered],
+                               np.asarray(L_ref)[covered],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m)[covered],
+                                  np.asarray(m_ref)[covered])
+    # the masked tail is exactly zero, not uninitialized memory
+    zeroed = ~covered
+    assert float(np.abs(np.asarray(L)[zeroed]).max()) == 0.0
+
+    g = jax.grad(
+        lambda a: jnp.sum(
+            pg_pallas.gather_radius_pallas_rowspan(
+                pp, a, pw, pv, cell, qp, r2, ns, kd,
+                interpret=True, chunk=256, job_budget=30,
+            )[0]
+        )
+    )(pa)
+    assert np.isfinite(np.asarray(g)).all()
