@@ -66,10 +66,12 @@ def initialize_distributed(
 def make_hierarchical_mesh(devices=None) -> Mesh:
     """('hosts', 'chips') mesh: the inner axis stays within a process/host
     (ICI), the outer axis crosses hosts (DCN). Single-host: hosts axis = 1."""
-    devices = devices if devices is not None else jax.devices()
+    devices = list(devices if devices is not None else jax.devices())
     n_proc = max(1, jax.process_count())
     per_host = len(devices) // n_proc
-    if n_proc > 1:
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_proc > 1 and n_slices == n_proc:
+        # real TPU pod slices: let mesh_utils pick the DCN-aware layout
         from jax.experimental import mesh_utils
 
         dm = mesh_utils.create_hybrid_device_mesh(
@@ -78,7 +80,10 @@ def make_hierarchical_mesh(devices=None) -> Mesh:
             devices=devices,
         )
     else:
-        dm = np.asarray(devices).reshape(1, len(devices))
+        # CPU multi-process (no slice_index) or single process: group the
+        # 'hosts' axis by owning process so the inner axis stays process-local
+        devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+        dm = np.asarray(devices).reshape(n_proc, per_host)
     return Mesh(dm, ("hosts", "chips"))
 
 

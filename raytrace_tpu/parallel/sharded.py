@@ -53,9 +53,24 @@ def _radiance_shard(
     config: RenderConfig,
     light_samples: tuple,
     n_chips: int,
+    axes: tuple[str, ...] = (AXIS,),
 ):
-    """Per-chip radiance for a shard of pixel samples. Runs inside shard_map."""
-    chip = jax.lax.axis_index(AXIS)
+    """Per-chip radiance for a shard of pixel samples. Runs inside shard_map.
+
+    axes: the mesh axes the pixel-sample axis is sharded over, OUTERMOST
+    first. A flat 1-D mesh passes ('chips',); the multi-host hierarchical
+    mesh passes ('hosts', 'chips') — photon maps are then all-gathered in
+    TWO HOPS: within-host over the 'chips' axis (ICI) first, so each host
+    assembles its local wave once, then across hosts over the 'hosts' axis
+    (one DCN transfer of the host-aggregated map per host pair), which is
+    the design multihost.py:10-18 describes. Every chip ends with the full
+    map and builds/queries the grid locally (replicated compute, no comms
+    during gather)."""
+    # linear chip id over the (possibly hierarchical) mesh, outer-major —
+    # matches the tiled all_gather concatenation order below
+    chip = jax.lax.axis_index(axes[0])
+    for ax in axes[1:]:
+        chip = chip * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
     k_light, k_photon = jax.random.split(jax.random.fold_in(key, 1), 2)
 
     rays = generate_rays(camera, xy_s, lens_s, config.spp)
@@ -82,15 +97,19 @@ def _radiance_shard(
     paths_local = max(1, config.photon_paths // n_chips)
     cfg_local = dataclasses.replace(config, photon_paths=paths_local)
 
+    def gather_two_hop(x):
+        # innermost axis first (ICI within a host), then outward (DCN):
+        # tiled all_gathers concatenate outer-major, matching `chip` above
+        for ax in reversed(axes):
+            x = jax.lax.all_gather(x, ax, tiled=True)
+        return x
+
     def wave(state, p):
         # disjoint global photon-id slice per chip
         photons_local = photon_renderer.trace_photons(
             scene, cfg_local, k_photon, p, path_offset=chip * paths_local
         )
-        # all-gather the photon wave over ICI → full map on every chip
-        photons_all = jax.tree_util.tree_map(
-            lambda x: jax.lax.all_gather(x, AXIS, tiled=True), photons_local
-        )
+        photons_all = jax.tree_util.tree_map(gather_two_hop, photons_local)
         state, _ = photon_renderer.gathering_pass(
             scene, rec, state, photons_all, config
         )
@@ -134,6 +153,7 @@ def _render_sharded_jit(
     mesh: Mesh,
 ) -> Array:
     n_chips = mesh.devices.size
+    axes = tuple(mesh.axis_names)  # 1-D ('chips',) or ('hosts', 'chips')
     k_pix, k_render = jax.random.split(key)
     xy, lens = pixel_samples(
         k_pix, config.width, config.height, config.spp, jitter=jitter
@@ -148,10 +168,11 @@ def _render_sharded_jit(
             config=config,
             light_samples=light_samples,
             n_chips=n_chips,
+            axes=axes,
         ),
         mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P()),
-        out_specs=P(AXIS),
+        in_specs=(P(), P(), P(axes), P(axes), P()),
+        out_specs=P(axes),
         # loop carries are initialized from fresh jnp.full's (unvarying) and
         # become varying in the body — skip the strict vma check; transposes
         # still psum correctly under the conservative rules
