@@ -14,6 +14,8 @@ from __future__ import annotations
 import argparse
 import time
 
+import numpy as np
+
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="raytrace-tpu", description=__doc__)
@@ -84,8 +86,17 @@ def main(argv=None) -> None:
           f"{t.rate(config.photon_paths * config.photon_passes)/1e6:.3f} "
           f"Mphotons/s)")
 
-    img_io.write_png(args.out, img)
-    print(f"wrote {args.out}")
+    # dispatch by extension: .exr = linear float (the reference's film
+    # output format, photonmappingrenderer.cpp:283), .pfm = linear float,
+    # anything else = gamma-mapped PNG
+    out = str(args.out)
+    if out.endswith(".exr"):
+        img_io.write_exr(out, np.asarray(img))
+    elif out.endswith(".pfm"):
+        img_io.write_pfm(out, np.asarray(img))
+    else:
+        img_io.write_png(out, img)
+    print(f"wrote {out}")
     if args.pfm:
         img_io.write_pfm(args.pfm, img)
         print(f"wrote {args.pfm}")

@@ -405,6 +405,12 @@ def gathering_pass(
                     cell_size, rec.p, q_r2, rec.ns, kd_over_pi,
                 )
             )
+            isect_ops.debug_warn_nonzero(
+                gather_overflow,
+                "WARNING raytrace_tpu: gather job budget overflow by {} "
+                "jobs — affected pixel tiles skip this wave; raise "
+                "job_budget",
+            )
             n_valid = jnp.sum(photons.valid).astype(jnp.int32)
         elif config.differentiable:
             # small maps under AD: exact streamed all-pairs (linear in
@@ -428,8 +434,21 @@ def gathering_pass(
             grid, rec.p, state.radius2, rec.ns, wo, kd_over_pi,
             max_per_cell=config.grid_max_photons_per_cell,
         )
-        info = dict(valid_photons=grid.n_valid,
-                    max_cell_occupancy=photon_grid.max_cell_occupancy(grid))
+        occ = photon_grid.max_cell_occupancy(grid)
+        # the per-cell budget TRUNCATES flux (and gradient) when exceeded —
+        # fail loudly instead of silently biasing the estimate; the excess
+        # also rides the aux dict (gather_overflow) for host-side assertions
+        over_budget = jnp.maximum(
+            occ - config.grid_max_photons_per_cell, 0
+        ).astype(jnp.int32)
+        isect_ops.debug_warn_nonzero(
+            over_budget,
+            "WARNING raytrace_tpu: photon grid cell occupancy exceeds "
+            "grid_max_photons_per_cell by {} — flux/gradient truncated; "
+            "raise the budget or use the Pallas/exact gather",
+        )
+        gather_overflow = gather_overflow + over_budget
+        info = dict(valid_photons=grid.n_valid, max_cell_occupancy=occ)
     info["gather_overflow"] = gather_overflow
 
     m = jnp.where(rec.hit, m, 0)
