@@ -130,3 +130,144 @@ def test_boundary_gradient_zero_when_shadow_out_of_view():
         samples_per_edge=64,
     )
     assert float(jnp.abs(dimg).sum()) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Mesh silhouettes (closed occluder) + optimization recovery
+# ---------------------------------------------------------------------------
+
+CUBE_HALF = 0.35
+
+
+def _cube_mesh(center):
+    """Closed axis-aligned cube: 8 verts, 12 consistently-wound tris."""
+    cx, cy, cz = center
+    s = CUBE_HALF
+    v = np.array([
+        [cx - s, cy - s, cz - s], [cx + s, cy - s, cz - s],
+        [cx + s, cy + s, cz - s], [cx - s, cy + s, cz - s],
+        [cx - s, cy - s, cz + s], [cx + s, cy - s, cz + s],
+        [cx + s, cy + s, cz + s], [cx - s, cy + s, cz + s],
+    ])
+    f = np.array([
+        [0, 2, 1], [0, 3, 2],      # bottom (z-)
+        [4, 5, 6], [4, 6, 7],      # top (z+)
+        [0, 1, 5], [0, 5, 4],      # y-
+        [2, 3, 7], [2, 7, 6],      # y+
+        [1, 2, 6], [1, 6, 5],      # x+
+        [3, 0, 4], [3, 4, 7],      # x-
+    ])
+    return v, f
+
+
+def test_mesh_silhouette_extraction():
+    from raytrace_tpu.diff.edges import mesh_edge_adjacency, silhouette_edges
+
+    v, f = _cube_mesh((0.0, 0.0, 0.0))
+    vid, fid = mesh_edge_adjacency(f)
+    assert vid.shape == (18, 2)          # cube: 18 unique edges
+    assert (fid >= 0).all()              # closed: every edge has 2 faces
+    # viewpoint straight above: silhouette = the 4 top-perimeter... no — for
+    # a cube seen face-on from far above the silhouette is the 4 vertical
+    # side-face boundaries? Facing flips across the 8 edges bounding the
+    # top/bottom faces ring depending on position; from (0,0,10) exactly
+    # above, the 4 side faces are all back-facing (normals ⟂ view), so the
+    # silhouette is the 4 edges of the top face... verify by count & by the
+    # invariant below instead of hand geometry:
+    _, _, mask = silhouette_edges(v, f, np.array([0.0, 0.0, 10.0]))
+    assert int(np.asarray(mask).sum()) in (4, 8)
+    # generic viewpoint: silhouette of a convex closed mesh is a single
+    # closed loop → every silhouette vertex has exactly 2 silhouette edges
+    vp = np.array([3.0, 2.0, 7.0])
+    _, _, mask = silhouette_edges(v, f, vp)
+    mask = np.asarray(mask)
+    assert mask.sum() == 6  # hexagonal outline for a generic cube view
+    deg = np.zeros(len(v), int)
+    for (a, b), m in zip(vid, mask):
+        if m:
+            deg[a] += 1
+            deg[b] += 1
+    assert set(deg[deg > 0]) == {2}
+
+
+def _cube_scene(theta: float):
+    b = SceneBuilder()
+    floor = b.matte((0.7, 0.7, 0.7))
+    occ = b.matte((0.3, 0.3, 0.3))
+    b.triangle_mesh(
+        np.array([[-8, -8, 0], [8, -8, 0], [8, 8, 0], [-8, 8, 0]],
+                 np.float64),
+        np.array([[0, 1, 2], [0, 2, 3]]), material=floor,
+    )
+    v, f = _cube_mesh((1.7 + theta, 0.0, OCC_Z))
+    b.triangle_mesh(v, f, material=occ)
+    b.point_light(LIGHT, (120.0, 120.0, 120.0))
+    return b.build(), v, f
+
+
+def test_mesh_silhouette_shadow_gradient_matches_fd():
+    """Closed-mesh occluder (cube) out of view: the boundary estimator over
+    the EXTRACTED silhouette must match central differences of the full
+    render — the mesh generalization of the quad test above."""
+    from raytrace_tpu.diff.edges import (
+        shadow_boundary_image_grad, silhouette_edges,
+    )
+
+    cam = _camera()
+    config = RenderConfig(width=SIZE, height=SIZE, spp=SPP,
+                          scene_epsilon=1e-3)
+    wmat = jax.random.uniform(jax.random.PRNGKey(3), (SIZE, SIZE, 3))
+
+    def loss_at(theta):
+        scene, _, _ = _cube_scene(theta)
+        img = render_simple(scene, cam, config, KEY, jitter=True)
+        return float(jnp.mean(img * wmat))
+
+    h = 0.06
+    fd = (loss_at(+h) - loss_at(-h)) / (2 * h)
+
+    scene0, v, f = _cube_scene(0.0)
+    lp = jnp.asarray(LIGHT, jnp.float32)
+    e0, e1, mask = silhouette_edges(v, f, lp)
+    dimg = shadow_boundary_image_grad(
+        scene0, cam, config, e0, e1, jnp.asarray([1.0, 0.0, 0.0]),
+        samples_per_edge=256, edge_mask=mask,
+    )
+    ad = float(jnp.mean(dimg * wmat))
+    assert abs(fd) > 1e-5, "shadow must actually move the loss"
+    assert np.sign(fd) == np.sign(ad), (fd, ad)
+    assert abs(fd - ad) <= 0.25 * max(abs(fd), abs(ad)), (fd, ad)
+
+
+def test_occluder_translation_recovery_by_optimization():
+    """Inverse rendering of a GEOMETRY parameter: recover the cube's x-offset
+    from a target image by gradient descent on the boundary gradient alone
+    (pathwise AD sees zero). BASELINE north star's visibility-gradient
+    demonstration."""
+    from raytrace_tpu.diff.edges import recover_translation
+
+    cam = _camera()
+    config = RenderConfig(width=SIZE, height=SIZE, spp=16,
+                          scene_epsilon=1e-3)
+    base_scene, base_v, f = _cube_scene(0.0)
+    target = render_simple(base_scene, cam, config, KEY, jitter=True)
+
+    def build_scene(verts):
+        b = SceneBuilder()
+        b.triangle_mesh(
+            np.array([[-8, -8, 0], [8, -8, 0], [8, 8, 0], [-8, 8, 0]],
+                     np.float64),
+            np.array([[0, 1, 2], [0, 2, 3]]), material=b.matte((0.7,) * 3),
+        )
+        b.triangle_mesh(np.asarray(verts, np.float64), f,
+                        material=b.matte((0.3,) * 3))
+        b.point_light(LIGHT, (120.0, 120.0, 120.0))
+        return b.build()
+
+    theta_hat, losses = recover_translation(
+        0.22, jnp.asarray([1.0, 0.0, 0.0]), base_v, f, build_scene, cam,
+        config, target, KEY, steps=20, lr=2.0, samples_per_edge=128,
+        jitter=True,
+    )
+    assert losses[-1] < 0.25 * losses[0], losses
+    assert abs(theta_hat) < 0.06, (theta_hat, losses)
