@@ -67,6 +67,7 @@ def shadow_boundary_image_grad(
     light_index: int = 0,
     samples_per_edge: int = 64,
     edge_mask: Array | None = None,  # [E] bool: which edges are silhouette
+    occluder_aabb: tuple[Array, Array] | None = None,
 ) -> Array:
     """d(image)/dθ for an occluder translation, via shadow-boundary edge
     sampling → [H, W, 3] (the derivative of each pixel's area-averaged
@@ -74,6 +75,19 @@ def shadow_boundary_image_grad(
 
     edge_mask supports static-shape mesh silhouettes (silhouette_edges):
     masked-out edges contribute exactly zero.
+
+    occluder_aabb=(lo, hi): when the occluder is IN VIEW, boundary points
+    must be excluded in two cases the out-of-view geometry never hits —
+      1. the projected boundary lands on the occluder ITSELF (its own
+         terminator): the receiver then moves WITH the parameter, the
+         relative boundary velocity is ~0, and the naive static-receiver
+         formula produces a large spurious term. Points inside the
+         (slightly inflated) AABB are dropped.
+      2. the receiver point is hidden from the CAMERA (e.g. the shadow
+         region directly behind the occluder): it contributes nothing to
+         the image. A camera-visibility ray test drops these whenever an
+         AABB is supplied (out-of-view callers can omit it and skip the
+         extra intersection pass).
     """
     lp = scene.lights.o[light_index]  # point-light position
     E = edge_v0.shape[0]
@@ -163,6 +177,20 @@ def shadow_boundary_image_grad(
     speed_im = jnp.sum(jv * n_im, axis=-1)
     scale = speed_im * jm_len / K  # dl_image = |J·m| dt, dt = 1/K
     ok = hit.valid & is_boundary & (jnp.abs(denom) > 1e-9) & sample_mask
+    if occluder_aabb is not None:
+        lo, hi = occluder_aabb
+        margin = 1e-3
+        on_occluder = jnp.all(
+            (x_b > lo[None, :] - margin) & (x_b < hi[None, :] + margin),
+            axis=-1,
+        )
+        cam_o = camera.camera_to_world[:, 3]
+        cam_hidden = isect_ops.occluded(
+            scene, jnp.broadcast_to(cam_o, (n, 3)), x_b - cam_o,
+            jnp.full((n,), jnp.float32(config.shadow_epsilon)),
+            jnp.full((n,), 1.0 - jnp.float32(config.shadow_epsilon)),
+        )
+        ok = ok & ~on_occluder & ~cam_hidden
     contrib = jnp.where(ok[:, None], dL * scale[:, None], 0.0)
 
     # ---- splat into pixel derivative (pixel mean over unit raster area) ----
@@ -242,21 +270,42 @@ def silhouette_mask(
     return jnp.where(open_edge, fr0, fr0 != fr1)
 
 
-def silhouette_edges(
+def silhouette_edges_full(
     verts, faces, viewpoint
-) -> tuple[Array, Array, Array]:
-    """Convenience wrapper → (edge_v0 [E, 3], edge_v1 [E, 3], mask [E]).
+) -> tuple[Array, Array, Array, Array]:
+    """→ (edge_v0 [E, 3], edge_v1 [E, 3], mask [E], front_normal [E, 3]).
+
+    front_normal is the unit normal of each edge's FRONT-facing adjacent
+    face (the surface a viewer at `viewpoint` sees at the silhouette) —
+    what primary_boundary_image_grad shades instead of re-intersecting a
+    grazing ray (which misses the edge ~half the time in float32).
 
     Static shape: ALL mesh edges are returned with a boolean silhouette
     mask, so the result jits cleanly for a moving mesh (the mask changes,
     the shapes don't)."""
     verts = jnp.asarray(verts, jnp.float32)
     faces_j = jnp.asarray(faces, jnp.int32)
+    viewpoint = jnp.asarray(viewpoint, jnp.float32)
     edge_vid, edge_fid = mesh_edge_adjacency(faces)
-    mask = silhouette_mask(
-        verts, faces_j, jnp.asarray(edge_fid), jnp.asarray(viewpoint, jnp.float32)
+    edge_fid_j = jnp.asarray(edge_fid)
+    mask = silhouette_mask(verts, faces_j, edge_fid_j, viewpoint)
+
+    v0f = verts[faces_j[:, 0]]
+    n_f = vec.normalize(
+        vec.cross(verts[faces_j[:, 1]] - v0f, verts[faces_j[:, 2]] - v0f)
     )
-    return verts[edge_vid[:, 0]], verts[edge_vid[:, 1]], mask
+    front = vec.dot(n_f, viewpoint[None, :] - v0f) > 0.0
+    f0 = jnp.maximum(edge_fid_j[:, 0], 0)
+    f1 = jnp.maximum(edge_fid_j[:, 1], 0)
+    pick0 = front[f0] | (edge_fid_j[:, 1] < 0)
+    front_n = jnp.where(pick0[:, None], n_f[f0], n_f[f1])
+    return verts[edge_vid[:, 0]], verts[edge_vid[:, 1]], mask, front_n
+
+
+def silhouette_edges(verts, faces, viewpoint) -> tuple[Array, Array, Array]:
+    """silhouette_edges_full without the front normals."""
+    v0, v1, mask, _ = silhouette_edges_full(verts, faces, viewpoint)
+    return v0, v1, mask
 
 
 def translation_loss_and_grad(
@@ -356,3 +405,157 @@ def recover_translation(
             lr *= 0.5  # overshoot: retry a shorter step from the best point
             theta = best_theta - lr * best_g
     return best_theta, losses
+
+
+@partial(jax.jit, static_argnames=("config", "samples_per_edge"))
+def primary_boundary_image_grad(
+    scene: Scene,
+    camera: PerspectiveCamera,
+    config: RenderConfig,
+    edge_v0: Array,   # [E, 3] silhouette edges w.r.t. the CAMERA position
+    edge_v1: Array,
+    edge_vel: Array,  # [3] rigid d(edge point)/dθ, or [E, 3] per edge
+    light_index: int = 0,
+    samples_per_edge: int = 64,
+    edge_mask: Array | None = None,
+    front_normal: Array | None = None,  # [E, 3] from silhouette_edges_full
+    front_mat: int = 0,                 # occluder material id for L_front
+) -> Array:
+    """PRIMARY-visibility boundary term: d(image)/dθ from the occluder's own
+    silhouette sweeping across pixels (the in-view companion of
+    shadow_boundary_image_grad; together they are the two visibility
+    boundary families of Li et al. 2018 for a pinhole camera + point light).
+
+        dI = (L_occluder − L_background) · (v_im · n_im) |J·ė| dt
+
+    where v_im / n_im are the image-space edge velocity and the unit normal
+    of the projected silhouette oriented toward the BACKGROUND side, and the
+    two radiances are direct-lit matte shading of the silhouette point and
+    of the surface the camera ray hits beyond it.
+
+    Supply front_normal + front_mat (silhouette_edges_full) whenever
+    possible: L_front is then shaded ANALYTICALLY at the edge point with
+    the front face's normal. The fallback re-intersects a ray through the
+    silhouette point, which grazes the edge and MISSES ~half the samples
+    in float32 — a systematic underestimate, not just noise."""
+    from raytrace_tpu.scene.camera import generate_rays
+    from raytrace_tpu.shading import light as light_ops
+
+    cam_o = camera.camera_to_world[:, 3]
+    E = edge_v0.shape[0]
+    K = samples_per_edge
+    ts = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+    e = (edge_v0[:, None, :] * (1.0 - ts)[None, :, None]
+         + edge_v1[:, None, :] * ts[None, :, None]).reshape(E * K, 3)
+    edot = jnp.broadcast_to(
+        (edge_v1 - edge_v0)[:, None, :], (E, K, 3)).reshape(E * K, 3)
+    n = e.shape[0]
+    sample_mask = (jnp.ones((n,), bool) if edge_mask is None
+                   else jnp.repeat(edge_mask, K))
+    if jnp.ndim(edge_vel) == 2:
+        edge_vel = jnp.repeat(edge_vel, K, axis=0)
+    u = jnp.broadcast_to(edge_vel, (n, 3))
+
+    eps = jnp.float32(config.scene_epsilon)
+
+    def shade(hit):
+        """Direct-lit matte radiance at a hit (one light, no shadow ray at
+        the silhouette point would double-count the boundary — shadow tests
+        ARE evaluated so ΔL is the true local radiance difference)."""
+        lp_ = scene.lights.o[light_index]
+        wl = lp_ - hit.p
+        r2 = jnp.maximum(vec.length_squared(wl), 1e-12)
+        wl_hat = wl / jnp.sqrt(r2)[:, None]
+        f = mat_ops.f(scene.materials, hit.mat, wl_hat, wl_hat)
+        cos_l = vec.absdot(vec.normalize(hit.ns), wl_hat)
+        li = scene.lights.intensity[light_index] / r2[:, None]
+        shadowed = isect_ops.occluded(
+            scene, hit.p, lp_ - hit.p,
+            jnp.full((n,), jnp.float32(config.shadow_epsilon)),
+            jnp.full((n,), 1.0 - jnp.float32(config.shadow_epsilon)),
+        )
+        L = f * cos_l[:, None] * li
+        L = L + light_ops.light_L(scene.lights, hit.light, -wl_hat)
+        return jnp.where((hit.valid & ~shadowed)[:, None], L, 0.0), hit.valid
+
+    # front side: shade the silhouette point itself
+    w = e - cam_o
+    t_e = vec.length(w)
+    w_hat = w / jnp.maximum(t_e, 1e-12)[:, None]
+    o_b = jnp.broadcast_to(cam_o, (n, 3))
+    if front_normal is not None:
+        # analytic: point e on the front face with its known normal
+        ns_f = jnp.repeat(front_normal, K, axis=0)
+        lp_ = scene.lights.o[light_index]
+        p_f = e + 1e-3 * ns_f  # lift off the surface for the shadow ray
+        wl = lp_ - p_f
+        r2 = jnp.maximum(vec.length_squared(wl), 1e-12)
+        wl_hat = wl / jnp.sqrt(r2)[:, None]
+        f_b = mat_ops.f(
+            scene.materials, jnp.full((n,), front_mat, jnp.int32),
+            wl_hat, wl_hat,
+        )
+        cos_l = vec.absdot(ns_f, wl_hat)
+        li = scene.lights.intensity[light_index] / r2[:, None]
+        shadowed = isect_ops.occluded(
+            scene, p_f, lp_ - p_f,
+            jnp.full((n,), jnp.float32(config.shadow_epsilon)),
+            jnp.full((n,), 1.0 - jnp.float32(config.shadow_epsilon)),
+        )
+        L_f = jnp.where(~shadowed[:, None], f_b * cos_l[:, None] * li, 0.0)
+        valid_f = jnp.ones((n,), bool)
+    else:
+        hit_f = isect_ops.intersect(
+            scene, o_b, w_hat, jnp.full((n,), eps), t_e * (1.0 + 1e-4)
+        )
+        L_f, valid_f = shade(hit_f)
+    # back side: continue past the occluder
+    hit_b = isect_ops.intersect(
+        scene, o_b, w_hat, t_e * (1.0 + 1e-4), jnp.full((n,), BIG)
+    )
+    L_b, _ = shade(hit_b)  # miss → black background (L_b already 0)
+    dL = L_f - L_b
+
+    # image-space geometry: silhouette projects THROUGH the camera directly
+    proj = lambda p: project_to_raster(camera, p)
+    xy, jm = jax.jvp(proj, (e,), (edot,))
+    _, jv = jax.jvp(proj, (e,), (u,))
+    jm_len = jnp.sqrt(jnp.maximum(jnp.sum(jm * jm, -1), 1e-20))
+    jm_hat = jm / jm_len[:, None]
+    perp = jnp.stack([-jm_hat[:, 1], jm_hat[:, 0]], axis=-1)
+
+    # orient perp toward the BACKGROUND: probe camera rays half a pixel to
+    # each side; the occluder side hits at ~t_e, the background side farther
+    delta = 0.5
+    probe_t = lambda xy_: isect_ops.intersect(
+        scene,
+        *(lambda r: (r.o, r.d))(generate_rays(
+            camera, xy_, jnp.full((n, 2), 0.5), 1)),
+        jnp.full((n,), eps), jnp.full((n,), BIG),
+    ).t
+    t_plus = probe_t(xy + delta * perp)
+    t_minus = probe_t(xy - delta * perp)
+    near = t_e * (1.0 + 1e-2)
+    occ_plus = t_plus < near
+    occ_minus = t_minus < near
+    is_boundary = occ_plus != occ_minus
+    sgn = jnp.where(occ_plus, -1.0, 1.0)  # background side = +perp when
+    n_im = perp * sgn[:, None]            # the +side is NOT the occluder
+
+    speed_im = jnp.sum(jv * n_im, axis=-1)
+    scale = speed_im * jm_len / K
+    ok = valid_f & is_boundary & sample_mask
+    contrib = jnp.where(ok[:, None], dL * scale[:, None], 0.0)
+
+    px = jnp.floor(xy[:, 0]).astype(jnp.int32)
+    py = jnp.floor(xy[:, 1]).astype(jnp.int32)
+    in_view = (
+        (px >= 0) & (px < config.width) & (py >= 0) & (py < config.height)
+    )
+    flat = jnp.clip(py, 0, config.height - 1) * config.width + jnp.clip(
+        px, 0, config.width - 1
+    )
+    contrib = jnp.where(in_view[:, None], contrib, 0.0)
+    dimg = jnp.zeros((config.height * config.width, 3), jnp.float32)
+    dimg = dimg.at[flat].add(contrib)
+    return dimg.reshape(config.height, config.width, 3)

@@ -34,10 +34,30 @@ class OTriangle:
 
 @dataclass
 class OSphere:
-    center: np.ndarray  # translation-only o2w (tests use translate+uniform)
-    radius: float
+    center: np.ndarray  # translation(+uniform-scale) o2w ONLY — build via
+    radius: float       # osphere_from_o2w to get the loud guard
     mat: int
     light: int = -1
+
+
+def osphere_from_o2w(o2w, radius: float, mat: int, light: int = -1) -> "OSphere":
+    """Oracle sphere from a framework object-to-world affine [3|4, 4].
+
+    The oracle's analytic sphere supports translation + uniform scale only;
+    framework spheres take arbitrary affines (ops/intersect.py) — a rotated
+    or non-uniformly scaled o2w here would otherwise SILENTLY compare
+    against a wrong oracle (VERDICT r2 weak #8), so any such transform
+    raises instead."""
+    o2w = np.asarray(o2w, np.float64)
+    m = o2w[:3, :3]
+    s = float(np.cbrt(abs(np.linalg.det(m))))
+    if s <= 0.0 or not np.allclose(m, np.eye(3) * s, atol=1e-6 * max(1.0, s)):
+        raise ValueError(
+            "oracle spheres support translation + uniform-scale o2w only; "
+            f"got linear part {m.tolist()}"
+        )
+    return OSphere(center=o2w[:3, 3].copy(), radius=radius * s, mat=mat,
+                   light=light)
 
 
 @dataclass

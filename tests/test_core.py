@@ -109,3 +109,29 @@ class TestSpectrum:
         out = np.asarray(spectrum.sanitize(s))
         np.testing.assert_allclose(out[0], [1, 2, 3])
         assert np.all(out[1:] == 0.0)
+
+
+def test_oracle_sphere_o2w_guard():
+    """osphere_from_o2w accepts translate+uniform-scale and REJECTS rotated /
+    non-uniform transforms instead of silently comparing against a wrong
+    oracle (the oracle sphere is analytic in world space)."""
+    import numpy as np
+    import pytest
+
+    from raytrace_tpu.oracle.cpu_reference import osphere_from_o2w
+
+    t = np.eye(4)
+    t[:3, 3] = [1.0, 2.0, 3.0]
+    t[:3, :3] *= 2.0
+    s = osphere_from_o2w(t, radius=0.5, mat=0)
+    np.testing.assert_allclose(s.center, [1.0, 2.0, 3.0])
+    assert abs(s.radius - 1.0) < 1e-12
+
+    rot = np.eye(4)
+    c, si = np.cos(0.3), np.sin(0.3)
+    rot[:2, :2] = [[c, -si], [si, c]]
+    with pytest.raises(ValueError):
+        osphere_from_o2w(rot, radius=0.5, mat=0)
+    nonuni = np.diag([1.0, 2.0, 1.0, 1.0])
+    with pytest.raises(ValueError):
+        osphere_from_o2w(nonuni, radius=0.5, mat=0)

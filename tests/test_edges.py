@@ -271,3 +271,72 @@ def test_occluder_translation_recovery_by_optimization():
     )
     assert losses[-1] < 0.25 * losses[0], losses
     assert abs(theta_hat) < 0.06, (theta_hat, losses)
+
+
+def test_in_view_occluder_combined_boundary_gradient():
+    """Occluder IN VIEW: the image derivative decomposes into the PRIMARY
+    boundary term (the cube's own silhouette sweeping pixels) plus the
+    SHADOW boundary term — the decomposition real inverse rendering needs
+    (round-2 weak #7: the old test only covered the easy all-shadow case).
+    Central differences of the full render must match the SUM of the two
+    estimators (the interior pathwise term for a slowly-varying matte
+    surface is second-order small here)."""
+    from raytrace_tpu.diff.edges import (
+        primary_boundary_image_grad,
+        shadow_boundary_image_grad,
+        silhouette_edges,
+        silhouette_edges_full,
+    )
+
+    cam = _camera()
+    config = RenderConfig(width=SIZE, height=SIZE, spp=SPP,
+                          scene_epsilon=1e-3)
+    wmat = jax.random.uniform(jax.random.PRNGKey(5), (SIZE, SIZE, 3))
+
+    def scene_at(theta):
+        b = SceneBuilder()
+        b.triangle_mesh(
+            np.array([[-8, -8, 0], [8, -8, 0], [8, 8, 0], [-8, 8, 0]],
+                     np.float64),
+            np.array([[0, 1, 2], [0, 2, 3]]), material=b.matte((0.7,) * 3),
+        )
+        v, f = _cube_mesh((0.3 + theta, 0.0, 0.8))
+        b.triangle_mesh(v, f, material=b.matte((0.25, 0.4, 0.3)))
+        b.point_light(LIGHT, (120.0, 120.0, 120.0))
+        return b.build(), v, f
+
+    def loss_at(theta):
+        scene, _, _ = scene_at(theta)
+        img = render_simple(scene, cam, config, KEY, jitter=True)
+        return float(jnp.mean(img * wmat))
+
+    h = 0.05
+    fd = (loss_at(+h) - loss_at(-h)) / (2 * h)
+
+    scene0, v, f = scene_at(0.0)
+    vel = jnp.asarray([1.0, 0.0, 0.0])
+    lp = jnp.asarray(LIGHT, jnp.float32)
+    cam_o = np.asarray(cam.camera_to_world)[:, 3]
+
+    e0s, e1s, mask_s = silhouette_edges(v, f, lp)
+    aabb = (jnp.asarray(v.min(0), jnp.float32),
+            jnp.asarray(v.max(0), jnp.float32))
+    d_shadow = shadow_boundary_image_grad(
+        scene0, cam, config, e0s, e1s, vel, samples_per_edge=256,
+        edge_mask=mask_s, occluder_aabb=aabb,
+    )
+    e0p, e1p, mask_p, fn_p = silhouette_edges_full(v, f, cam_o)
+    d_prim = primary_boundary_image_grad(
+        scene0, cam, config, e0p, e1p, vel, samples_per_edge=256,
+        edge_mask=mask_p, front_normal=fn_p, front_mat=1,
+    )
+    ad = float(jnp.mean((d_shadow + d_prim) * wmat))
+    ad_shadow_only = float(jnp.mean(d_shadow * wmat))
+
+    assert abs(fd) > 1e-5
+    assert np.sign(fd) == np.sign(ad), (fd, ad)
+    assert abs(fd - ad) <= 0.25 * max(abs(fd), abs(ad)), (
+        fd, ad, ad_shadow_only
+    )
+    # the primary term must be doing real work: shadow-only is NOT enough
+    assert abs(fd - ad) < abs(fd - ad_shadow_only), (fd, ad, ad_shadow_only)
