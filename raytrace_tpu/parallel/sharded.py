@@ -173,9 +173,15 @@ def _render_sharded_jit(
         mesh=mesh,
         in_specs=(P(), P(), P(axes), P(axes), P()),
         out_specs=P(axes),
-        # loop carries are initialized from fresh jnp.full's (unvarying) and
-        # become varying in the body — skip the strict vma check; transposes
-        # still psum correctly under the conservative rules
+        # check_vma=True was tried (round 3): it rejects every lax.scan /
+        # while_loop in the renderer whose carry init is a fresh jnp.full
+        # (unvarying) while the body output varies with the sharded rays —
+        # fixing it needs jax.lax.pvary on every loop init across
+        # ops/renderers for no semantic change. The correctness net is the
+        # equality tests instead: N-chip == 1-chip images AND gradients
+        # (test_sharded.py), hierarchical == 1-chip, and the real
+        # 2-process run (test_multihost.py) — any future transpose/psum
+        # regression trips those.
         check_vma=False,
     )
     L = shard_fn(scene, camera, xy, lens, k_render)
