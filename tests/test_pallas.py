@@ -362,3 +362,40 @@ def test_pallas_rowspan_overflow_defined_output():
         )
     )(pa)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_pallas_rowspan_custom_vjp_matches_finite_differences():
+    """Direct FD validation of the custom VJP (not just dense-AD
+    equivalence): perturb single alpha/kd entries and compare central
+    differences of a scalar loss against the returned gradient."""
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+
+    pp, pa, pw, pv, qp, r2, ns, kd = _rowspan_fixture(seed=21, P=1500, N=300)
+    cell = float(jnp.sqrt(r2.max()))
+    rng = np.random.default_rng(2)
+    cot = jnp.asarray(rng.normal(size=qp.shape).astype(np.float32))
+
+    def loss(alpha, kd_):
+        L, _, _ = pg_pallas.gather_radius_pallas_rowspan(
+            pp, alpha, pw, pv, cell, qp, r2, ns, kd_,
+            interpret=True, chunk=256,
+        )
+        return jnp.sum(L * cot)
+
+    g_a, g_k = jax.grad(loss, argnums=(0, 1))(pa, kd)
+    h = 1e-2
+    # probe the largest-|gradient| entries (random entries mostly have
+    # exactly-zero gradient: invalid photons / photons outside every radius)
+    top_a = np.dstack(np.unravel_index(
+        np.argsort(-np.abs(np.asarray(g_a)).ravel())[:3], g_a.shape))[0]
+    top_k = np.dstack(np.unravel_index(
+        np.argsort(-np.abs(np.asarray(g_k)).ravel())[:2], g_k.shape))[0]
+    assert float(np.abs(np.asarray(g_a)[tuple(top_a[0])])) > 1e-4
+    for idx in map(tuple, top_a):
+        e = jnp.zeros_like(pa).at[idx].set(h)
+        fd = (float(loss(pa + e, kd)) - float(loss(pa - e, kd))) / (2 * h)
+        np.testing.assert_allclose(fd, float(g_a[idx]), rtol=2e-2, atol=1e-4)
+    for idx in map(tuple, top_k):
+        e = jnp.zeros_like(kd).at[idx].set(h)
+        fd = (float(loss(pa, kd + e)) - float(loss(pa, kd - e))) / (2 * h)
+        np.testing.assert_allclose(fd, float(g_k[idx]), rtol=2e-2, atol=1e-4)
