@@ -170,12 +170,15 @@ def _camera_pass_compact(
 ) -> CameraRecords:
     """camera_pass with survivor compaction: bounce 0 runs full-batch (every
     ray is live), then the specular survivors — a few percent of the batch —
-    are gathered into a static-width queue (jnp.nonzero, size=k) and only
-    the queue is intersected per bounce. Per-ray math is identical to the
-    full-batch loop (each lane's outcome is a pure function of its own
-    state); records match up to XLA fusion noise. If more than k rays
-    survive a bounce, the extras simply wait for a later iteration (the
-    queue drains in ray-index order)."""
+    are gathered into a static k-wide queue and processed TO COMPLETION by
+    an inner bounce loop that only ever touches k lanes; results scatter
+    back once per batch. (Round-2 ran the compaction INSIDE the bounce loop
+    — a full-width jnp.nonzero + 13 full-width record scatters per bounce —
+    which profiling showed was ~4/5 of the camera pass at the headline.
+    One outer batch iteration suffices unless > k rays survive bounce 0.)
+    Per-ray math is identical to the full-batch loop (each lane's outcome
+    is a pure function of its own state); records match up to XLA fusion
+    noise."""
     n = o.shape[0]
     eps = jnp.float32(config.scene_epsilon)
     cap = config.max_specular_depth
@@ -216,80 +219,87 @@ def _camera_pass_compact(
     d = w(spec_hit, wi, d)
     atten = w(spec_hit, thr, jnp.ones((n, 3), jnp.float32))
     active = spec_hit
-    depth = jnp.ones((n,), jnp.int32)  # every live ray has done 1 bounce
 
-    # ---- bounces 1..cap: compacted queue ---------------------------------
-    # worst case each iteration retires k rays of the n·(cap+1) total
-    # ray-bounces; any(active) exits far earlier in practice
-    max_iters = -(-n // k) * (cap + 1) + 1
+    # ---- batches of ≤ k survivors, each walked to completion --------------
+    max_batches = -(-n // k)
+    wk = lambda m, a, b: jnp.where(m[..., None] if a.ndim == 2 else m, a, b)
 
-    def cond(state):
-        it, active, *_ = state
-        return (it < max_iters) & jnp.any(active)
+    def inner_cond(s):
+        bounce, alive, *_ = s
+        return (bounce <= cap) & jnp.any(alive)
 
-    def body(state):
-        it, active, o, d, atten, depth, rec = state
-        idx_raw = jnp.nonzero(active, size=k, fill_value=n)[0]
-        sel = idx_raw < n
-        idx = jnp.minimum(idx_raw, n - 1)
-
-        # rays already past the cap don't get another intersection — the
-        # full-batch loop's exit rule (reference: raytracing.cu:98-101);
-        # they retire with the exception flag
-        exceed = sel & (depth[idx] > cap)
-        proc = sel & ~exceed
-
-        o_k, d_k = o[idx], d[idx]
+    def inner_body(s):
+        """One specular bounce for the k queued lanes (k-sized ops only)."""
+        bounce, alive, o_k, d_k, atten_k, st_k, rk = s
         hit = isect_ops.intersect(
             scene, o_k, d_k, jnp.full((k,), eps), jnp.full((k,), BIG)
         )
         spec = mat_ops.is_specular(scene.materials, hit.mat)
-        spec_k = proc & hit.valid & spec
-        diff_k = proc & hit.valid & ~spec
-        miss_k = proc & ~hit.valid
-        cont = spec_k
+        spec_k = alive & hit.valid & spec
+        diff_k = alive & hit.valid & ~spec
+        miss_k = alive & ~hit.valid
 
-        wk = lambda m, a, b: jnp.where(m[..., None] if a.ndim == 2 else m, a, b)
-
-        def scat(buf, mask, val):
-            cur = buf[idx]
-            return buf.at[idx_raw].set(wk(mask, val, cur), mode="drop")
-
-        status_k = jnp.where(
-            diff_k, 0, jnp.where(miss_k, 1, jnp.where(exceed, 2, rec.status[idx]))
+        st_k = jnp.where(diff_k, 0, jnp.where(miss_k, 1, st_k))
+        rk = tuple(
+            wk(diff_k, v, cur) for v, cur in zip(
+                (hit.p, hit.ns, hit.ng, hit.dpdu, hit.dpdv, d_k), rk[:6])
+        ) + tuple(
+            jnp.where(diff_k, v, cur) for v, cur in zip(
+                (hit.mat, hit.light), rk[6:])
         )
-        rec = CameraRecords(
-            status=rec.status.at[idx_raw].set(status_k, mode="drop"),
-            p=scat(rec.p, diff_k, hit.p),
-            ns=scat(rec.ns, diff_k, hit.ns),
-            ng=scat(rec.ng, diff_k, hit.ng),
-            dpdu=scat(rec.dpdu, diff_k, hit.dpdu),
-            dpdv=scat(rec.dpdv, diff_k, hit.dpdv),
-            direction=scat(rec.direction, diff_k, d_k),
-            mat=scat(rec.mat, diff_k, hit.mat),
-            light=scat(rec.light, diff_k, hit.light),
-            atten=rec.atten,
-            footprint=rec.footprint,
-        )
-
-        thr, wi = mat_ops.specular(
+        thr, wi2 = mat_ops.specular(
             scene.materials, hit.mat, hit.ns, hit.dpdu, -d_k
         )
-        o = scat(o, cont, hit.p)
-        d = scat(d, cont, wi)
-        atten = scat(atten, spec_k, atten[idx] * thr)
-        depth = scat(depth, spec_k, depth[idx] + 1)
-        active = active.at[idx_raw].set(cont, mode="drop")
-        return it + 1, active, o, d, atten, depth, rec
+        o_k = wk(spec_k, hit.p, o_k)
+        d_k = wk(spec_k, wi2, d_k)
+        atten_k = wk(spec_k, atten_k * thr, atten_k)
+        return bounce + 1, spec_k, o_k, d_k, atten_k, st_k, rk
 
-    init = (jnp.int32(0), active, o, d, atten, depth, rec)
-    _, active, _, _, atten, _, rec = jax.lax.while_loop(cond, body, init)
-    # queue drained or iteration guard tripped: anything still active is a
-    # chain the guard cut short — flag it like the cap case
-    return rec.replace(
-        status=jnp.where(active, 2, rec.status),
-        atten=atten,
-    )
+    def outer_cond(s):
+        it, active, *_ = s
+        return (it < max_batches) & jnp.any(active)
+
+    def outer_body(s):
+        it, active, o, d, atten, rec = s
+        idx_raw = jnp.nonzero(active, size=k, fill_value=n)[0]
+        sel = idx_raw < n
+        idx = jnp.minimum(idx_raw, n - 1)
+
+        zk3 = jnp.zeros((k, 3), jnp.float32)
+        rk = (zk3, zk3, zk3, zk3, zk3, d[idx],
+              jnp.full((k,), -1, jnp.int32), jnp.full((k,), -1, jnp.int32))
+        init = (jnp.int32(1), sel, o[idx], d[idx], atten[idx],
+                jnp.full((k,), 1, jnp.int32), rk)
+        _, alive_end, _, _, atten_k, st_k, rk = jax.lax.while_loop(
+            inner_cond, inner_body, init
+        )
+        # still alive after the cap → exception flag (raytracing.cu:98-101)
+        st_k = jnp.where(alive_end, 2, st_k)
+
+        def scat(buf, val):
+            return buf.at[idx_raw].set(
+                wk(sel, val, buf[idx]), mode="drop"
+            )
+
+        rec = CameraRecords(
+            status=scat(rec.status, st_k),
+            p=scat(rec.p, rk[0]),
+            ns=scat(rec.ns, rk[1]),
+            ng=scat(rec.ng, rk[2]),
+            dpdu=scat(rec.dpdu, rk[3]),
+            dpdv=scat(rec.dpdv, rk[4]),
+            direction=scat(rec.direction, rk[5]),
+            mat=scat(rec.mat, rk[6]),
+            light=scat(rec.light, rk[7]),
+            atten=scat(rec.atten, atten_k),
+            footprint=rec.footprint,
+        )
+        active = active.at[idx_raw].set(False, mode="drop")
+        return it + 1, active, o, d, atten, rec
+
+    init = (jnp.int32(0), active, o, d, atten, rec)
+    _, _, _, _, _, rec = jax.lax.while_loop(outer_cond, outer_body, init)
+    return rec
 
 
 def static_light_samples(scene: Scene, config: RenderConfig) -> tuple[int, ...]:

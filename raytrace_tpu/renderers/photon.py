@@ -276,11 +276,13 @@ def _photon_step(
 def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
     """Photon walk with survivor compaction (see common.compact_queue_size):
     step 0 runs full-batch (every path is live), then survivors are gathered
-    into a static k-wide queue per iteration. Each path takes at most
-    `max_photon_bounces` steps (tracked per path — the full-batch loop's
-    global iteration counter IS the per-path step count there, since all
-    lanes advance together), so the walks produce the same photon sets up
-    to XLA fusion noise."""
+    into a static k-wide queue and walked TO COMPLETION by an inner bounce
+    loop over k lanes only; their [max_depth]-slot deposit rows scatter back
+    once per batch. (Round-2 re-compacted every bounce — a full-width
+    jnp.nonzero + full-width state scatters per step, measured as the bulk
+    of the trace pass.) Each path takes at most `max_photon_bounces` steps,
+    so the walks produce the same photon sets as the full-batch loop up to
+    XLA fusion noise."""
     n = o.shape[0]
     max_depth = config.max_photon_depth
     ph_p, ph_alpha, ph_wi, ph_valid = ph
@@ -302,60 +304,70 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
     )
     alive = out["alive"]
     o, d, alpha, n_int = out["o"], out["d"], out["alpha"], out["n_int"]
-    steps = jnp.ones((n,), jnp.int32)
-    alive = alive & (steps < config.max_photon_bounces)
+    alive = alive & (config.max_photon_bounces > 1)
 
-    max_iters = -(-n // k) * config.max_photon_bounces + 1
+    max_batches = -(-n // k)
+    krows = jnp.arange(k)
 
-    def cond(state):
-        it, alive, *_ = state
-        return (it < max_iters) & jnp.any(alive)
+    def inner_cond(s):
+        stp, alive_k, *_ = s
+        return (stp < config.max_photon_bounces) & jnp.any(alive_k)
 
-    def body(state):
-        it, alive, o, d, alpha, n_int, steps, ph = state
+    def inner_body(s):
+        """One walk step for the k queued lanes — k-sized ops only; deposits
+        land in the batch-local [k, max_depth] rows."""
+        stp, alive_k, o_k, d_k, a_k, ni_k, idx, dph = s
+        dp, da, dw, dv = dph
+        u = uniforms[idx, jnp.clip(ni_k, 0, max_depth)]
+        out = step(o_k, d_k, a_k, ni_k, alive_k, u)
+        depk = out["deposit"]
+        slot_k = out["slot"]
+        dep_val = lambda buf, v: buf.at[krows, slot_k].set(
+            jnp.where(depk[:, None] if v.ndim == 2 else depk,
+                      v, buf[krows, slot_k])
+        )
+        dp = dep_val(dp, out["dep_p"])
+        da = dep_val(da, out["dep_alpha"])
+        dw = dep_val(dw, out["dep_wi"])
+        dv = dv.at[krows, slot_k].set(jnp.where(depk, True, dv[krows, slot_k]))
+        return (stp + 1, out["alive"], out["o"], out["d"], out["alpha"],
+                out["n_int"], idx, (dp, da, dw, dv))
+
+    def outer_cond(s):
+        it, alive, *_ = s
+        return (it < max_batches) & jnp.any(alive)
+
+    def outer_body(s):
+        it, alive, ph = s
         ph_p, ph_alpha, ph_wi, ph_valid = ph
         idx_raw = jnp.nonzero(alive, size=k, fill_value=n)[0]
         sel = idx_raw < n
         idx = jnp.minimum(idx_raw, n - 1)
 
-        n_int_k = n_int[idx]
-        u = uniforms[idx, jnp.clip(n_int_k, 0, max_depth)]
-        out = step(o[idx], d[idx], alpha[idx], n_int_k, sel, u)
-
-        dep = out["deposit"]
-        slot_k = out["slot"]
-        dep_val = lambda buf, v: buf.at[idx_raw, slot_k].set(
-            jnp.where(dep[:, None] if v.ndim == 2 else dep,
-                      v, buf[idx, slot_k]),
-            mode="drop",
+        # batch-local deposit rows seeded from the step-0 deposits so the
+        # final row write-back can't erase them
+        dph = (ph_p[idx], ph_alpha[idx], ph_wi[idx], ph_valid[idx])
+        init = (jnp.int32(1), sel, o[idx], d[idx], alpha[idx], n_int[idx],
+                idx, dph)
+        _, _, _, _, _, _, _, dph = jax.lax.while_loop(
+            inner_cond, inner_body, init
         )
-        ph_p = dep_val(ph_p, out["dep_p"])
-        ph_alpha = dep_val(ph_alpha, out["dep_alpha"])
-        ph_wi = dep_val(ph_wi, out["dep_wi"])
-        ph_valid = ph_valid.at[idx_raw, slot_k].set(
-            jnp.where(dep, True, ph_valid[idx, slot_k]), mode="drop"
+        sel3 = sel[:, None, None]
+        scat_rows = lambda buf, v, m: buf.at[idx_raw].set(
+            jnp.where(m, v, buf[idx]), mode="drop"
         )
-
-        steps_k = steps[idx] + 1
-        alive_k = out["alive"] & (steps_k < config.max_photon_bounces)
-        scat = lambda buf, v: buf.at[idx_raw].set(v, mode="drop")
-        return (
-            it + 1,
-            scat(alive, alive_k),
-            scat(o, out["o"]),
-            scat(d, out["d"]),
-            scat(alpha, out["alpha"]),
-            scat(n_int, out["n_int"]),
-            scat(steps, steps_k),
-            (ph_p, ph_alpha, ph_wi, ph_valid),
+        ph = (
+            scat_rows(ph_p, dph[0], sel3),
+            scat_rows(ph_alpha, dph[1], sel3),
+            scat_rows(ph_wi, dph[2], sel3),
+            scat_rows(ph_valid, dph[3], sel[:, None]),
         )
+        alive2 = alive.at[idx_raw].set(False, mode="drop")
+        return it + 1, alive2, ph
 
-    init = (
-        jnp.int32(0), alive, o, d, alpha, n_int, steps,
-        (ph_p, ph_alpha, ph_wi, ph_valid),
-    )
-    state = jax.lax.while_loop(cond, body, init)
-    return state[7]
+    init = (jnp.int32(0), alive, (ph_p, ph_alpha, ph_wi, ph_valid))
+    _, _, ph = jax.lax.while_loop(outer_cond, outer_body, init)
+    return ph
 
 
 def gathering_pass(
