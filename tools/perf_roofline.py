@@ -47,10 +47,10 @@ def gather_stats(size=512, paths=1 << 18):
     k_pix, _, k_photon = jax.random.split(key, 3)
     xy, lens = pixel_samples(k_pix, size, size, 1, jitter=True)
     rays = generate_rays(camera, xy, lens, 1)
-    rec = jax.jit(lambda o, d: common.camera_pass(
-        scene, o, d, config, rays=rays))(rays.o, rays.d)
-    photons = jax.jit(lambda k: ph.trace_photons(scene, config, k, 0))(
-        k_photon)
+    rec = jax.jit(lambda sc, o, d, ry: common.camera_pass(
+        sc, o, d, config, rays=ry))(scene, rays.o, rays.d, rays)
+    photons = jax.jit(lambda sc, k: ph.trace_photons(sc, config, k, 0))(
+        scene, k_photon)
     state = ph.ProgressiveState(
         radius2=ph.initial_radius2(rec, config),
         photon_count=jnp.zeros((rays.o.shape[0],), jnp.float32),
@@ -63,10 +63,13 @@ def gather_stats(size=512, paths=1 << 18):
     wo = vec.normalize(-rec.direction)
     kd = mat_ops.f(scene.materials, rec.mat, wo, wo)
 
-    fn = jax.jit(lambda a: pgx.gather_radius_pallas_rowspan(
-        photons.p, a, photons.wi, photons.valid, cell, rec.p, q_r2,
-        rec.ns, kd))
-    (_, m, ovf), dt = bench(fn, photons.alpha)
+    # everything enters as a traced ARG — closures would embed MB-scale
+    # constants into the HLO and blow the remote compile request limit
+    fn = jax.jit(lambda pp, a, pw, pv, qpp, qr, qn, qk:
+                 pgx.gather_radius_pallas_rowspan(
+                     pp, a, pw, pv, cell, qpp, qr, qn, qk))
+    (_, m, ovf), dt = bench(fn, photons.p, photons.alpha, photons.wi,
+                            photons.valid, rec.p, q_r2, rec.ns, kd)
 
     # job count: replicate the coverage computation (host-side numpy)
     chunk = pgx.ROWSPAN_CHUNK
@@ -77,10 +80,12 @@ def gather_stats(size=512, paths=1 << 18):
     # count via the kernel's own overflow at budget=n_tiles (min): n_jobs =
     # overflow(bud) + bud for any budget — use the public overflow output
     bud = pgx.TILE_Q  # tiny; overflow + bud = n_jobs
-    small = jax.jit(lambda a: pgx.gather_radius_pallas_rowspan(
-        photons.p, a, photons.wi, photons.valid, cell, rec.p, q_r2,
-        rec.ns, kd, job_budget=1 << 12))
-    _, _, ovf_small = small(photons.alpha)
+    small = jax.jit(lambda pp, a, pw, pv, qpp, qr, qn, qk:
+                    pgx.gather_radius_pallas_rowspan(
+                        pp, a, pw, pv, cell, qpp, qr, qn, qk,
+                        job_budget=1 << 12))
+    _, _, ovf_small = small(photons.p, photons.alpha, photons.wi,
+                            photons.valid, rec.p, q_r2, rec.ns, kd)
     n_jobs = int(ovf_small) + (1 << 12)
 
     flops = n_jobs * pgx.TILE_Q * chunk * 30
@@ -108,9 +113,9 @@ def cluster_stats(n_tris=1 << 20, size=512):
     xy, lens = pixel_samples(key, size, size, 1, jitter=False)
     rays = generate_rays(camera, xy, lens, 1)
     n = rays.o.shape[0]
-    fn = jax.jit(lambda o, d: ci.intersect_clusters(
-        scene.clusters, o, d, jnp.full((n,), 1e-3), jnp.full((n,), 1e30)))
-    (t, _, _, ovf), dt = bench(fn, rays.o, rays.d)
+    fn = jax.jit(lambda cl, o, d: ci.intersect_clusters(
+        cl, o, d, jnp.full((n,), 1e-3), jnp.full((n,), 1e30)))
+    (t, _, _, ovf), dt = bench(fn, scene.clusters, rays.o, rays.d)
     cl = scene.clusters
     tris_per_cluster = cl.v0.shape[1]
     n_clusters = cl.v0.shape[0]

@@ -58,28 +58,31 @@ def main():
     xy, lens = pixel_samples(k_pix, size, size, 1, jitter=True)
     rays = generate_rays(camera, xy, lens, 1)
 
-    cam = jax.jit(lambda o, d: common.camera_pass(scene, o, d, config,
-                                                  rays=rays))
-    rec, t_cam = bench("camera_pass", cam, rays.o, rays.d)
+    # scene/rays enter as traced ARGS (closures would embed them as HLO
+    # constants — at 4M-triangle scale that exceeds the remote compile
+    # service's request size limit)
+    cam = jax.jit(lambda sc, o, d, ry: common.camera_pass(
+        sc, o, d, config, rays=ry))
+    rec, t_cam = bench("camera_pass", cam, scene, rays.o, rays.d, rays)
 
-    dl = jax.jit(lambda rec, k: common.direct_lighting(
-        scene, rec, k, config, light_samples, include_emitted=True))
-    direct, t_dl = bench("direct_lighting", dl, rec, k_light)
+    dl = jax.jit(lambda sc, rec, k: common.direct_lighting(
+        sc, rec, k, config, light_samples, include_emitted=True))
+    direct, t_dl = bench("direct_lighting", dl, scene, rec, k_light)
 
-    tp = jax.jit(lambda k: ph.trace_photons(scene, config, k, 0))
-    photons, t_tp = bench("photon_trace", tp, k_photon)
+    tp = jax.jit(lambda sc, k: ph.trace_photons(sc, config, k, 0))
+    photons, t_tp = bench("photon_trace", tp, scene, k_photon)
 
     state = ph.ProgressiveState(
         radius2=ph.initial_radius2(rec, config),
         photon_count=jnp.zeros((rays.o.shape[0],), jnp.float32),
         flux=jnp.zeros((rays.o.shape[0], 3), jnp.float32),
     )
-    gp = jax.jit(lambda rec, st, pm: ph.gathering_pass(
-        scene, rec, st, pm, config))
-    (_, _), t_g = bench("gathering_pass", gp, rec, state, photons)
+    gp = jax.jit(lambda sc, rec, st, pm: ph.gathering_pass(
+        sc, rec, st, pm, config))
+    (_, _), t_g = bench("gathering_pass", gp, scene, rec, state, photons)
 
-    full = jax.jit(lambda k: ph.render_photon(scene, camera, config, k))
-    _, t_full = bench("FULL pipeline", full, key)
+    full = jax.jit(lambda sc, k: ph.render_photon(sc, camera, config, k))
+    _, t_full = bench("FULL pipeline", full, scene, key)
     parts = t_cam + t_dl + t_tp + t_g
     print(f"{'sum of parts':28s} {parts * 1e3:9.2f} ms")
     print(f"rays/s (full): {size * size / t_full:,.0f}")
