@@ -139,10 +139,16 @@ def trace_photons(
         lambda k: jax.random.uniform(k, (max_depth + 1, 3), dtype=jnp.float32)
     )(path_keys)
 
-    ph_p = jnp.zeros((n_paths, max_depth, 3), jnp.float32)
-    ph_alpha = jnp.zeros((n_paths, max_depth, 3), jnp.float32)
-    ph_wi = jnp.zeros((n_paths, max_depth, 3), jnp.float32)
-    ph_valid = jnp.zeros((n_paths, max_depth), bool)
+    # photon slot buffers are kept FLAT [paths·max_depth, 3] throughout —
+    # slot index = path·max_depth + n_int-1 (the reference's pm_index
+    # striding, photontracing.cu:82). Rank-3 [paths, depth, 3] buffers tile
+    # pathologically on TPU (the (4, 128) layout pads 4×3 minor dims 42×,
+    # 192 MB → 8 GB — a measured OOM at the 4M-path config).
+    n_slots = n_paths * max_depth
+    ph_p = jnp.zeros((n_slots, 3), jnp.float32)
+    ph_alpha = jnp.zeros((n_slots, 3), jnp.float32)
+    ph_wi = jnp.zeros((n_slots, 3), jnp.float32)
+    ph_valid = jnp.zeros((n_slots,), bool)
 
     step = partial(_photon_step, scene, config)
     k = common.compact_queue_size(config, n_paths)
@@ -164,16 +170,16 @@ def trace_photons(
             u = uniforms[rows, jnp.clip(n_int, 0, max_depth)]
             out = step(o, d, alpha, n_int, alive, u)
             dep = out["deposit"]
-            slot = out["slot"]
-            dep_val = lambda buf, v: buf.at[rows, slot].set(
+            fslot = rows * max_depth + out["slot"]
+            dep_val = lambda buf, v: buf.at[fslot].set(
                 jnp.where(dep[:, None] if v.ndim == 2 else dep,
-                          v, buf[rows, slot])
+                          v, buf[fslot])
             )
             ph_p = dep_val(ph_p, out["dep_p"])
             ph_alpha = dep_val(ph_alpha, out["dep_alpha"])
             ph_wi = dep_val(ph_wi, out["dep_wi"])
-            ph_valid = ph_valid.at[rows, slot].set(
-                jnp.where(dep, True, ph_valid[rows, slot])
+            ph_valid = ph_valid.at[fslot].set(
+                jnp.where(dep, True, ph_valid[fslot])
             )
             return (
                 it + 1, out["alive"], out["o"], out["d"], out["alpha"],
@@ -192,9 +198,8 @@ def trace_photons(
                 differentiable=config.differentiable,
             )
         )
-    flat = lambda x: x.reshape((n_paths * max_depth,) + x.shape[2:])
     return photon_grid.PhotonMap(
-        p=flat(ph_p), alpha=flat(ph_alpha), wi=flat(ph_wi), valid=flat(ph_valid)
+        p=ph_p, alpha=ph_alpha, wi=ph_wi, valid=ph_valid
     )
 
 
@@ -285,23 +290,21 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
     XLA fusion noise."""
     n = o.shape[0]
     max_depth = config.max_photon_depth
-    ph_p, ph_alpha, ph_wi, ph_valid = ph
+    ph_p, ph_alpha, ph_wi, ph_valid = ph  # FLAT [n·max_depth, ...] buffers
     rows = jnp.arange(n)
 
     # ---- step 0: full batch ----------------------------------------------
     u0 = uniforms[rows, 0]
     out = step(o, d, alpha, jnp.zeros((n,), jnp.int32), alive, u0)
     dep = out["deposit"]
-    slot = out["slot"]
-    dep_val = lambda buf, v: buf.at[rows, slot].set(
-        jnp.where(dep[:, None] if v.ndim == 2 else dep, v, buf[rows, slot])
+    fslot = rows * max_depth + out["slot"]
+    dep_val = lambda buf, v: buf.at[fslot].set(
+        jnp.where(dep[:, None] if v.ndim == 2 else dep, v, buf[fslot])
     )
     ph_p = dep_val(ph_p, out["dep_p"])
     ph_alpha = dep_val(ph_alpha, out["dep_alpha"])
     ph_wi = dep_val(ph_wi, out["dep_wi"])
-    ph_valid = ph_valid.at[rows, slot].set(
-        jnp.where(dep, True, ph_valid[rows, slot])
-    )
+    ph_valid = ph_valid.at[fslot].set(jnp.where(dep, True, ph_valid[fslot]))
     alive = out["alive"]
     o, d, alpha, n_int = out["o"], out["d"], out["alpha"], out["n_int"]
     alive = alive & (config.max_photon_bounces > 1)
@@ -315,21 +318,21 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
 
     def inner_body(s):
         """One walk step for the k queued lanes — k-sized ops only; deposits
-        land in the batch-local [k, max_depth] rows."""
+        land in the batch-local flat [k·max_depth] rows."""
         stp, alive_k, o_k, d_k, a_k, ni_k, idx, dph = s
         dp, da, dw, dv = dph
         u = uniforms[idx, jnp.clip(ni_k, 0, max_depth)]
         out = step(o_k, d_k, a_k, ni_k, alive_k, u)
         depk = out["deposit"]
-        slot_k = out["slot"]
-        dep_val = lambda buf, v: buf.at[krows, slot_k].set(
+        fslot_k = krows * max_depth + out["slot"]
+        dep_val = lambda buf, v: buf.at[fslot_k].set(
             jnp.where(depk[:, None] if v.ndim == 2 else depk,
-                      v, buf[krows, slot_k])
+                      v, buf[fslot_k])
         )
         dp = dep_val(dp, out["dep_p"])
         da = dep_val(da, out["dep_alpha"])
         dw = dep_val(dw, out["dep_wi"])
-        dv = dv.at[krows, slot_k].set(jnp.where(depk, True, dv[krows, slot_k]))
+        dv = dv.at[fslot_k].set(jnp.where(depk, True, dv[fslot_k]))
         return (stp + 1, out["alive"], out["o"], out["d"], out["alpha"],
                 out["n_int"], idx, (dp, da, dw, dv))
 
@@ -343,24 +346,29 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
         idx_raw = jnp.nonzero(alive, size=k, fill_value=n)[0]
         sel = idx_raw < n
         idx = jnp.minimum(idx_raw, n - 1)
+        # flat slot rows of the selected paths (k·max_depth indices)
+        fidx_raw = (
+            idx_raw[:, None] * max_depth + jnp.arange(max_depth)[None, :]
+        ).reshape(-1)
+        fidx = jnp.minimum(fidx_raw, n * max_depth - 1)
+        selk = jnp.repeat(sel, max_depth)
 
         # batch-local deposit rows seeded from the step-0 deposits so the
         # final row write-back can't erase them
-        dph = (ph_p[idx], ph_alpha[idx], ph_wi[idx], ph_valid[idx])
+        dph = (ph_p[fidx], ph_alpha[fidx], ph_wi[fidx], ph_valid[fidx])
         init = (jnp.int32(1), sel, o[idx], d[idx], alpha[idx], n_int[idx],
                 idx, dph)
         _, _, _, _, _, _, _, dph = jax.lax.while_loop(
             inner_cond, inner_body, init
         )
-        sel3 = sel[:, None, None]
-        scat_rows = lambda buf, v, m: buf.at[idx_raw].set(
-            jnp.where(m, v, buf[idx]), mode="drop"
+        scat_rows = lambda buf, v, m: buf.at[fidx_raw].set(
+            jnp.where(m, v, buf[fidx]), mode="drop"
         )
         ph = (
-            scat_rows(ph_p, dph[0], sel3),
-            scat_rows(ph_alpha, dph[1], sel3),
-            scat_rows(ph_wi, dph[2], sel3),
-            scat_rows(ph_valid, dph[3], sel[:, None]),
+            scat_rows(ph_p, dph[0], selk[:, None]),
+            scat_rows(ph_alpha, dph[1], selk[:, None]),
+            scat_rows(ph_wi, dph[2], selk[:, None]),
+            scat_rows(ph_valid, dph[3], selk),
         )
         alive2 = alive.at[idx_raw].set(False, mode="drop")
         return it + 1, alive2, ph

@@ -81,7 +81,9 @@ def main():
         sc, rec, st, pm, config))
     (_, _), t_g = bench("gathering_pass", gp, scene, rec, state, photons)
 
-    full = jax.jit(lambda sc, k: ph.render_photon(sc, camera, config, k))
+    # render_photon jits internally (scene as a dynamic arg; the light-
+    # sample counts are read host-side before tracing) — no outer jit
+    full = lambda sc, k: ph.render_photon(sc, camera, config, k)
     _, t_full = bench("FULL pipeline", full, scene, key)
     parts = t_cam + t_dl + t_tp + t_g
     print(f"{'sum of parts':28s} {parts * 1e3:9.2f} ms")
