@@ -574,13 +574,18 @@ _rowspan_S.defvjp(_rowspan_S_fwd, _rowspan_S_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "chunk", "job_budget"))
+    jax.jit, static_argnames=("interpret", "chunk", "job_budget", "r_max"))
 def gather_radius_pallas_rowspan(
     photons_p: Array,      # [P, 3]
     photons_alpha: Array,  # [P, 3]
     photons_wi: Array,     # [P, 3]
     photons_valid: Array,  # [P] bool
-    cell_size,             # scalar: grid cell edge, must be ≥ every radius
+    cell_size,             # scalar grid cell edge — a free TUNING knob:
+                           # tiles reach ceil(max_tile_radius / cell) cells,
+                           # so results are exact for ANY cell size. Sweet
+                           # spot ≈ a high percentile of the live radii
+                           # (renderers/photon.gather_cell_size); a cell ≥
+                           # every radius reproduces the fixed ±1 reach.
     q_p: Array,            # [N, 3]
     radius2: Array,        # [N] (0 disables the query: never matches,
                            #      excluded from tile boxes)
@@ -589,6 +594,7 @@ def gather_radius_pallas_rowspan(
     interpret: bool = False,
     chunk: int = ROWSPAN_CHUNK,
     job_budget: int = 1 << 17,
+    r_max: int = R_MAX,
 ) -> tuple[Array, Array, Array]:
     """Exact radius search + photon shading over a linear-cell-sorted photon
     grid → (L [N, 3], M [N] int32, overflow [] int32). Same contract as
@@ -662,23 +668,35 @@ def gather_radius_pallas_rowspan(
     qr2 = jnp.pad(radius2[qorder], (0, n_pad))[None, :]  # pad r²=0: no match
 
     # ---- per-tile neighborhood boxes over LIVE queries --------------------
+    # adaptive reach: each tile extends by ceil(max_live_radius_tile / cell)
+    # cells, so exactness holds for ANY cell size (a query at a cell edge
+    # with radius r touches at most ceil(r/cell) cells per axis). This is
+    # what lets the cell track the TYPICAL radius instead of the global max
+    # — one far-away pixel no longer inflates every tile's spans.
     n_tiles = (n + n_pad) // TILE_Q
     qc_t = jnp.pad(qcell[qorder], ((0, n_pad), (0, 0))).reshape(
         n_tiles, TILE_Q, 3)
     live_t = jnp.pad(live[qorder], (0, n_pad)).reshape(n_tiles, TILE_Q)
+    r2_t = jnp.max(
+        jnp.pad(radius2[qorder], (0, n_pad)).reshape(n_tiles, TILE_Q),
+        axis=1,
+    )
+    reach_t = jnp.ceil(
+        jnp.sqrt(jnp.maximum(r2_t, 0.0)) / cell_size
+    ).astype(jnp.int32)[:, None]
     blo = jnp.clip(jnp.min(
-        jnp.where(live_t[..., None], qc_t, big), axis=1) - 1, 0, 1023)
+        jnp.where(live_t[..., None], qc_t, big), axis=1) - reach_t, 0, 1023)
     bhi = jnp.clip(jnp.max(
-        jnp.where(live_t[..., None], qc_t, -big), axis=1) + 1, 0, 1023)
+        jnp.where(live_t[..., None], qc_t, -big), axis=1) + reach_t, 0, 1023)
     any_live = jnp.any(live_t, axis=1)
     nz = bhi[:, 2] - blo[:, 2] + 1
     ny = bhi[:, 1] - blo[:, 1] + 1
     n_rows = nz * ny
 
-    # rows r ∈ [0, R_MAX): (z, y) = box row; tiles with n_rows > R_MAX fall
+    # rows r ∈ [0, r_max): (z, y) = box row; tiles with n_rows > r_max fall
     # back to one conservative span over the whole box (exact, rarely hit)
-    r_ids = jnp.arange(R_MAX, dtype=jnp.int32)[None, :]  # [1, R_MAX]
-    fits = (n_rows <= R_MAX)[:, None]
+    r_ids = jnp.arange(r_max, dtype=jnp.int32)[None, :]  # [1, r_max]
+    fits = (n_rows <= r_max)[:, None]
     valid_row = any_live[:, None] & (r_ids < n_rows[:, None])
     zr = blo[:, 2:3] + r_ids // ny[:, None]
     yr = blo[:, 1:2] + r_ids % ny[:, None]
@@ -690,8 +708,8 @@ def gather_radius_pallas_rowspan(
     khi = jnp.where(fits, khi_fit, jnp.where(r_ids == 0, khi_fb, 0))
     valid_row = jnp.where(fits, valid_row, any_live[:, None] & (r_ids == 0))
 
-    lo_e = jnp.searchsorted(pkey_s, klo.ravel()).reshape(n_tiles, R_MAX)
-    hi_e = jnp.searchsorted(pkey_s, khi.ravel()).reshape(n_tiles, R_MAX)
+    lo_e = jnp.searchsorted(pkey_s, klo.ravel()).reshape(n_tiles, r_max)
+    hi_e = jnp.searchsorted(pkey_s, khi.ravel()).reshape(n_tiles, r_max)
     has = valid_row & (lo_e < hi_e)
     c_lo = jnp.where(has, lo_e // chunk, 0)
     c_hi = jnp.where(has, -(-hi_e // chunk), 0)  # exclusive
@@ -699,7 +717,7 @@ def gather_radius_pallas_rowspan(
     # ---- rasterize spans → [tiles, chunks] coverage, OR-merged ------------
     iota_c = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
     cov = jnp.zeros((n_tiles, n_chunks), bool)
-    for r in range(R_MAX):
+    for r in range(r_max):
         cov = cov | ((iota_c >= c_lo[:, r:r + 1]) & (iota_c < c_hi[:, r:r + 1]))
     # seed chunk 0 for every tile: guarantees each output block is visited
     # (and zero-initialized) even when a tile has no covered chunks, and

@@ -68,12 +68,18 @@ def initial_radius2(rec: common.CameraRecords, config: RenderConfig) -> Array:
 
 
 def gather_cell_size(rec: common.CameraRecords, state: "ProgressiveState"):
-    """Grid cell edge for the spatial gather: the LARGEST live query radius
-    (cell ≥ radius keeps the 27-neighborhood/Morton-span test exact). Under
-    progressive shrinking and footprint radii this tightens the grid pass by
-    pass instead of pinning it to the initial global radius."""
-    live = jnp.where(rec.hit, state.radius2, 0.0)
-    return jnp.sqrt(jnp.maximum(jnp.max(live), 1e-12))
+    """Grid cell edge for the spatial gather: the 90th-percentile live query
+    radius. The rowspan gather's per-tile reach (ceil(max_tile_radius/cell))
+    keeps results exact for ANY cell size; a high percentile keeps spans
+    tight for the typical tile while the few big-radius tiles just reach
+    further (the previous global-max rule let ONE distant pixel inflate the
+    cell size — and every tile's photon spans — by an order of magnitude).
+    Under progressive shrinking and footprint radii this tightens the grid
+    pass by pass."""
+    live = jnp.where(rec.hit, state.radius2, jnp.nan)
+    q90 = jnp.nanquantile(live, 0.9)
+    q90 = jnp.where(jnp.isnan(q90), 1.0, q90)  # no hits at all
+    return jnp.sqrt(jnp.maximum(q90, 1e-12))
 
 
 def trace_photons(
@@ -309,6 +315,51 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
     o, d, alpha, n_int = out["o"], out["d"], out["alpha"], out["n_int"]
     alive = alive & (config.max_photon_bounces > 1)
 
+    # ---- warm full-width steps --------------------------------------------
+    # photon survivors decay slowly (RR survival ≈ y(kd) per bounce), so
+    # compacting right after step 0 would split ~60% of the batch across
+    # several queue batches, each re-walked to its full depth. A few more
+    # full-width steps first let the population decay below the queue width
+    # so ONE batch finishes the tail. (The camera pass doesn't need this:
+    # only specular hits survive bounce 0.)
+    warm = min(config.compact_warm_steps, config.max_photon_bounces - 1)
+    if warm > 1:
+        rows_w = jnp.arange(n)
+
+        def wcond(s):
+            it, alive, *_ = s
+            return (it < warm) & jnp.any(alive)
+
+        def wbody(s):
+            it, alive, o, d, alpha, n_int, ph = s
+            ph_p, ph_alpha, ph_wi, ph_valid = ph
+            u = uniforms[rows_w, jnp.clip(n_int, 0, max_depth)]
+            out = step(o, d, alpha, n_int, alive, u)
+            dep = out["deposit"]
+            fslot = rows_w * max_depth + out["slot"]
+            dep_val = lambda buf, v: buf.at[fslot].set(
+                jnp.where(dep[:, None] if v.ndim == 2 else dep, v,
+                          buf[fslot])
+            )
+            ph_p = dep_val(ph_p, out["dep_p"])
+            ph_alpha = dep_val(ph_alpha, out["dep_alpha"])
+            ph_wi = dep_val(ph_wi, out["dep_wi"])
+            ph_valid = ph_valid.at[fslot].set(
+                jnp.where(dep, True, ph_valid[fslot])
+            )
+            alive2 = out["alive"] & (it + 1 < config.max_photon_bounces)
+            return (it + 1, alive2, out["o"], out["d"], out["alpha"],
+                    out["n_int"], (ph_p, ph_alpha, ph_wi, ph_valid))
+
+        (wsteps, alive, o, d, alpha, n_int,
+         (ph_p, ph_alpha, ph_wi, ph_valid)) = jax.lax.while_loop(
+            wcond, wbody,
+            (jnp.int32(1), alive, o, d, alpha, n_int,
+             (ph_p, ph_alpha, ph_wi, ph_valid)),
+        )
+    else:
+        wsteps = jnp.int32(1)
+
     max_batches = -(-n // k)
     krows = jnp.arange(k)
 
@@ -353,10 +404,10 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
         fidx = jnp.minimum(fidx_raw, n * max_depth - 1)
         selk = jnp.repeat(sel, max_depth)
 
-        # batch-local deposit rows seeded from the step-0 deposits so the
-        # final row write-back can't erase them
+        # batch-local deposit rows seeded from the full-width-step deposits
+        # so the final row write-back can't erase them
         dph = (ph_p[fidx], ph_alpha[fidx], ph_wi[fidx], ph_valid[fidx])
-        init = (jnp.int32(1), sel, o[idx], d[idx], alpha[idx], n_int[idx],
+        init = (wsteps, sel, o[idx], d[idx], alpha[idx], n_int[idx],
                 idx, dph)
         _, _, _, _, _, _, _, dph = jax.lax.while_loop(
             inner_cond, inner_body, init

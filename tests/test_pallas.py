@@ -399,3 +399,24 @@ def test_pallas_rowspan_custom_vjp_matches_finite_differences():
         e = jnp.zeros_like(kd).at[idx].set(h)
         fd = (float(loss(pa, kd + e)) - float(loss(pa, kd - e))) / (2 * h)
         np.testing.assert_allclose(fd, float(g_k[idx]), rtol=2e-2, atol=1e-4)
+
+
+def test_pallas_rowspan_adaptive_reach_small_cell():
+    """Exactness with a cell SMALLER than most radii: per-tile reach
+    (ceil(max_tile_radius/cell)) must cover every in-radius photon — the
+    regime the old fixed-±1-neighborhood contract forbade."""
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+    from raytrace_tpu.ops import photon_grid as pg
+
+    pp, pa, pw, pv, qp, r2, ns, kd = _rowspan_fixture(seed=33)
+    pm = pg.PhotonMap(p=pp, alpha=pa, wi=pw, valid=pv)
+    L_ref, m_ref = pg.gather_radius_dense(pm, qp, r2, ns, kd)
+    for cell in (0.1, 0.25, 2.0):  # radii run up to ~0.63
+        L, m, ovf = pg_pallas.gather_radius_pallas_rowspan(
+            pp, pa, pw, pv, cell, qp, r2, ns, kd,
+            interpret=True, chunk=256, r_max=64,
+        )
+        assert int(ovf) == 0, cell
+        np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
+                                   rtol=2e-4, atol=1e-5, err_msg=str(cell))
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
