@@ -240,9 +240,25 @@ def run_triangle_field(n_tris: int = 1 << 20, size: int = 512) -> dict:
     }
 
 
-def run_scaling() -> dict:
-    """Sharded scaling efficiency when >1 device is visible."""
+def run_scaling(force_cpu_mesh: bool = False) -> dict:
+    """Sharded scaling efficiency when >1 device is visible.
+
+    force_cpu_mesh: run on an 8-device VIRTUAL CPU mesh instead (the
+    single-real-chip environment) — validates the sharded program
+    structure and measures parallel overhead, not real chip scaling; the
+    result fields carry a _cpu_virtual suffix to say so."""
+    import os
+
+    if force_cpu_mesh:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
     import jax
+
+    if force_cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
 
     if len(jax.devices()) < 2:
         return {}
@@ -259,11 +275,12 @@ def run_scaling() -> dict:
     )
     rep = multihost.scaling_report(
         scene, camera, config, jax.random.PRNGKey(0), device_counts=(1, n))
+    suffix = "_cpu_virtual" if force_cpu_mesh else ""
     return {
-        "scaling_devices": n,
-        "scaling_efficiency": rep.get("efficiency"),
-        "scaling_rays_per_s": {str(k): v for k, v in rep.items()
-                               if isinstance(k, int)},
+        f"scaling_devices{suffix}": n,
+        f"scaling_efficiency{suffix}": rep.get("efficiency"),
+        f"scaling_rays_per_s{suffix}": {str(k): v for k, v in rep.items()
+                                        if isinstance(k, int)},
     }
 
 
@@ -293,6 +310,7 @@ def main():
     ap.add_argument("--grad", action="store_true")
     ap.add_argument("--combined", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cpu", action="store_true")
     args = ap.parse_args()
 
     if args.tris:
@@ -306,6 +324,9 @@ def main():
         return
     if args.scaling:
         print(json.dumps(run_scaling()))
+        return
+    if args.scaling_cpu:
+        print(json.dumps(run_scaling(force_cpu_mesh=True)))
         return
     if args.size:
         print(json.dumps(run_once(args.size, args.paths or (args.size ** 2))))
@@ -351,6 +372,11 @@ def main():
     sc = _sub(["--scaling"], TRIS_TIMEOUT_S)
     if sc:
         result["extra"].update(sc)
+    # single real chip: still exercise the sharded path on the 8-device
+    # virtual CPU mesh (program-structure validation + parallel overhead)
+    sc_cpu = _sub(["--scaling-cpu"], TRIS_TIMEOUT_S)
+    if sc_cpu:
+        result["extra"].update(sc_cpu)
     print(json.dumps(result))
 
 
