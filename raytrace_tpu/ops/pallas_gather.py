@@ -693,20 +693,40 @@ def gather_radius_pallas_rowspan(
     ny = bhi[:, 1] - blo[:, 1] + 1
     n_rows = nz * ny
 
-    # rows r ∈ [0, r_max): (z, y) = box row; tiles with n_rows > r_max fall
-    # back to one conservative span over the whole box (exact, rarely hit)
+    # rows r ∈ [0, r_max), three tightness levels per tile:
+    #   1. n_rows ≤ r_max: one span per (z, y) box row — tightest;
+    #   2. nz ≤ r_max:     one span per z-SLAB (keys of a slab's whole
+    #      y×x box are contiguous in the z-major linear order) — each slab
+    #      over-covers its y-range gaps but EXCLUDES other z levels. This
+    #      matters: the old whole-box fallback spanned every key between
+    #      the corner z's, i.e. essentially the entire photon array
+    #      (measured on the 4M-tri/16M-photon frame: ~5,400 of 32,768
+    #      chunks per tile, an 11M-job blowup);
+    #   3. else: the conservative whole-box span (exact, now rarely hit).
     r_ids = jnp.arange(r_max, dtype=jnp.int32)[None, :]  # [1, r_max]
-    fits = (n_rows <= r_max)[:, None]
-    valid_row = any_live[:, None] & (r_ids < n_rows[:, None])
+    fits_zy = (n_rows <= r_max)[:, None]
+    fits_z = ~fits_zy & (nz <= r_max)[:, None]
     zr = blo[:, 2:3] + r_ids // ny[:, None]
     yr = blo[:, 1:2] + r_ids % ny[:, None]
     klo_fit = pack(zr, yr, blo[:, 0:1])
     khi_fit = pack(zr, yr, bhi[:, 0:1]) + 1
+    zs = blo[:, 2:3] + r_ids
+    klo_slab = pack(zs, blo[:, 1:2], blo[:, 0:1])
+    khi_slab = pack(zs, bhi[:, 1:2], bhi[:, 0:1]) + 1
     klo_fb = pack(blo[:, 2:3], blo[:, 1:2], blo[:, 0:1])
     khi_fb = pack(bhi[:, 2:3], bhi[:, 1:2], bhi[:, 0:1]) + 1
-    klo = jnp.where(fits, klo_fit, jnp.where(r_ids == 0, klo_fb, 0))
-    khi = jnp.where(fits, khi_fit, jnp.where(r_ids == 0, khi_fb, 0))
-    valid_row = jnp.where(fits, valid_row, any_live[:, None] & (r_ids == 0))
+    klo = jnp.where(
+        fits_zy, klo_fit,
+        jnp.where(fits_z, klo_slab, jnp.where(r_ids == 0, klo_fb, 0)),
+    )
+    khi = jnp.where(
+        fits_zy, khi_fit,
+        jnp.where(fits_z, khi_slab, jnp.where(r_ids == 0, khi_fb, 0)),
+    )
+    valid_row = any_live[:, None] & jnp.where(
+        fits_zy, r_ids < n_rows[:, None],
+        jnp.where(fits_z, r_ids < nz[:, None], r_ids == 0),
+    )
 
     lo_e = jnp.searchsorted(pkey_s, klo.ravel()).reshape(n_tiles, r_max)
     hi_e = jnp.searchsorted(pkey_s, khi.ravel()).reshape(n_tiles, r_max)

@@ -474,6 +474,10 @@ def gathering_pass(
                 pallas_gather.gather_radius_pallas_rowspan(
                     photons.p, photons.alpha, photons.wi, photons.valid,
                     cell_size, rec.p, q_r2, rec.ns, kd_over_pi,
+                    # 64 (z,y) rows per tile: big scenes put a query tile's
+                    # box at ~5×5×7 cells, which overflowed the old 32-row
+                    # cap into the whole-box fallback (PERF.md §2)
+                    r_max=64,
                 )
             )
             isect_ops.debug_warn_nonzero(

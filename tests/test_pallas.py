@@ -420,3 +420,43 @@ def test_pallas_rowspan_adaptive_reach_small_cell():
         np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
                                    rtol=2e-4, atol=1e-5, err_msg=str(cell))
         np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+
+
+def test_pallas_rowspan_zslab_fallback_exact():
+    """Force the intermediate z-slab regime (n_rows > r_max but nz <= r_max)
+    and the whole-box regime (nz > r_max): both must stay exact — the
+    z-slab level is what keeps big-scene tiles off the catastrophic
+    whole-box span (PERF.md §2)."""
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+    from raytrace_tpu.ops import photon_grid as pg
+
+    rng = np.random.default_rng(55)
+    P, N = 4000, 256
+    # photons in a wide flat slab: many (y, x) cells, few z cells
+    pp = np.stack([rng.uniform(0, 8, P), rng.uniform(0, 8, P),
+                   rng.uniform(0, 0.9, P)], -1).astype(np.float32)
+    pa = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    pw = rng.normal(size=(P, 3)).astype(np.float32)
+    pw /= np.linalg.norm(pw, axis=1, keepdims=True)
+    pv = rng.uniform(size=P) < 0.9
+    qp = np.stack([rng.uniform(0, 8, N), rng.uniform(0, 8, N),
+                   rng.uniform(0, 0.9, N)], -1).astype(np.float32)
+    r2 = rng.uniform(0.02, 0.1, N).astype(np.float32)
+    ns = rng.normal(size=(N, 3)).astype(np.float32)
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    kd = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+    args = tuple(jnp.asarray(x) for x in (pp, pa, pw, pv))
+    qargs = tuple(jnp.asarray(x) for x in (qp, r2, ns, kd))
+    pm = pg.PhotonMap(p=args[0], alpha=args[1], wi=args[2], valid=args[3])
+    L_ref, m_ref = pg.gather_radius_dense(pm, qargs[0], qargs[1], qargs[2],
+                                          qargs[3])
+    # cell small → boxes span many (z,y) rows; r_max tiny → z-slab / box
+    for r_max in (4, 2):
+        L, m, ovf = pg_pallas.gather_radius_pallas_rowspan(
+            *args, 0.15, *qargs, interpret=True, chunk=256,
+            r_max=r_max, job_budget=1 << 15,
+        )
+        assert int(ovf) == 0, r_max
+        np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
+                                   rtol=2e-4, atol=1e-5, err_msg=str(r_max))
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
