@@ -255,6 +255,9 @@ def run_scaling(force_cpu_mesh: bool = False) -> dict:
             os.environ["XLA_FLAGS"] = (
                 flags + " --xla_force_host_platform_device_count=8"
             ).strip()
+        # CPU AOT cache entries embed the compiling machine's CPU features;
+        # reloading them on a different host can segfault (tests/conftest.py)
+        os.environ.setdefault("RAYTRACE_TPU_NO_COMPILE_CACHE", "1")
     import jax
 
     if force_cpu_mesh:

@@ -42,6 +42,11 @@ def main(argv=None) -> None:
     import jax
 
     if args.cpu:
+        import os
+
+        # cross-machine CPU AOT cache entries can segfault on load
+        # (tests/conftest.py) — skip the persistent cache on CPU
+        os.environ.setdefault("RAYTRACE_TPU_NO_COMPILE_CACHE", "1")
         jax.config.update("jax_platforms", "cpu")
 
     from raytrace_tpu.core.config import RenderConfig

@@ -243,20 +243,64 @@ def _pair_kernel(pid_ref, np_ref, o_ref, d_ref, tmin_ref, tmax_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pair_budget", "interpret"))
+    jax.jit,
+    static_argnames=("pair_budget", "interpret", "sort_rays", "rounds"))
 def intersect_clusters(
     clusters: ClusterSet,
     o: Array, d: Array, tmin: Array, tmax: Array,
     pair_budget: int = 1 << 17,
     interpret: bool = False,
+    sort_rays: bool = True,
+    rounds: int = 1,
 ):
     """Closest hit through the cluster structure → (t [N], idx [N],
     n_pairs [], overflow [] int32). idx is the GLOBAL triangle index
     (cluster-padded order == builder order since clusters are contiguous).
-    Differentiability: primal only; callers re-intersect the winner."""
+    Differentiability: primal only; callers re-intersect the winner.
+
+    sort_rays: order rays by (origin-cell Morton, direction octant) before
+    tiling. Camera rays arrive coherent, but photon BOUNCE rays are random
+    — an unsorted 256-ray tile then culls against most of the scene and
+    the pair list explodes (measured 2× fewer pairs with sorting on 1M
+    incoherent rays). Sorting is a pure permutation (per-ray results are
+    identical); the cost is one argsort + gathers.
+
+    rounds: pair-list capacity = pair_budget·rounds. One round's id list is
+    SMEM-bound (scalar prefetch, ~2^17 s32); rounds run consecutive
+    tile-major slices and min-combine. Under CAPACITY overflow the
+    truncated tail tiles return a DEFINED miss (t = BIG, idx 0) instead of
+    uninitialized memory, and the overflow count reports the deficit."""
     sg = jax.lax.stop_gradient
     o = sg(o); d = sg(d); tmin = sg(tmin); tmax = sg(tmax)
     n = o.shape[0]
+
+    if sort_rays and n > TILE_RAYS:
+        from raytrace_tpu.ops import photon_grid as pg
+
+        smin = jnp.min(clusters.cmin, axis=0)  # padding rows are +inf
+        smax = jnp.max(clusters.cmax, axis=0)
+        ext = jnp.maximum(smax - smin, 1e-6) / 64.0
+        ocell = jnp.clip(
+            jnp.floor((o - smin[None, :]) / ext[None, :]).astype(jnp.int32),
+            0, 63,
+        )
+        octant = (
+            (d[:, 0] > 0).astype(jnp.uint32) * 4
+            + (d[:, 1] > 0).astype(jnp.uint32) * 2
+            + (d[:, 2] > 0).astype(jnp.uint32)
+        )
+        key = (pg.morton3(ocell) << 3) | octant
+        # dead rays (empty [tmin, tmax] window — padding lanes upstream)
+        # sort to the back so live tiles stay dense
+        key = jnp.where(tmax > tmin, key, jnp.uint32(0xFFFFFFFF))
+        order = jnp.argsort(key)
+        unsort = jnp.argsort(order)
+        t_s, idx_s, n_pairs, overflow = intersect_clusters(
+            clusters, o[order], d[order], tmin[order], tmax[order],
+            pair_budget=pair_budget, interpret=interpret, sort_rays=False,
+            rounds=rounds,
+        )
+        return t_s[unsort], idx_s[unsort], n_pairs, overflow
     n_pad = -n % (TILE_RAYS * TILE_GROUP)  # cull groups 8 tiles per step
     pad_r = lambda x: jnp.pad(x.T, ((0, 0), (0, n_pad)))
     oT, dT = pad_r(o), pad_r(d)
@@ -278,11 +322,13 @@ def intersect_clusters(
     # pid = tile·cp + cluster in one s32 array (SMEM budget: see kernel)
     flat = hit.reshape(-1) > 0.0
     n_pairs = jnp.sum(flat.astype(jnp.int32))
-    (pair_idx,) = jnp.nonzero(flat, size=pair_budget,
+    capacity = pair_budget * rounds
+    (pair_idx,) = jnp.nonzero(flat, size=capacity,
                               fill_value=n_tiles * cp)
-    pid = jnp.minimum(pair_idx, n_tiles * cp - 1).astype(jnp.int32)
-    n_valid_pairs = jnp.minimum(n_pairs, pair_budget)
-    overflow = jnp.maximum(n_pairs - pair_budget, 0)
+    pid_full = jnp.minimum(pair_idx, n_tiles * cp - 1).astype(jnp.int32)
+    n_valid_total = jnp.minimum(n_pairs, capacity)
+    overflow = jnp.maximum(n_pairs - capacity, 0)
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
 
     ray3 = pl.BlockSpec((3, TILE_RAYS),
                         lambda p, pid_, npr: (0, pid_[p] // cp),
@@ -304,17 +350,47 @@ def intersect_clusters(
             (1, TILE_RAYS), lambda p, pid_, npr: (0, pid_[p] // cp),
             memory_space=pltpu.VMEM)),
     )
-    t_out, i_out = pl.pallas_call(
-        functools.partial(_pair_kernel, cluster_size=CLUSTER_SIZE, cp=cp),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((1, np_), jnp.float32),
-            jax.ShapeDtypeStruct((1, np_), jnp.int32),
-        ),
-        interpret=interpret,
-    )(pid, jnp.asarray([n_valid_pairs], jnp.int32).reshape(1),
-      oT, dT, tminP, tmaxP, clusters.tv)
+    kern = functools.partial(_pair_kernel, cluster_size=CLUSTER_SIZE, cp=cp)
 
-    t = t_out[0, :n]
-    idx = jnp.clip(i_out[0, :n], 0, clusters.n_tris - 1)
+    # ---- multi-round min-combine (see docstring) --------------------------
+    t_best = jnp.full((np_,), BIG, jnp.float32)
+    i_best = jnp.zeros((np_,), jnp.int32)
+    for rr in range(rounds):
+        pid_r = pid_full[rr * pair_budget:(rr + 1) * pair_budget]
+        nvr = jnp.clip(n_valid_total - rr * pair_budget, 0, pair_budget)
+
+        def run_round(pid_r=pid_r, nvr=nvr):
+            t_out, i_out = pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=(
+                    jax.ShapeDtypeStruct((1, np_), jnp.float32),
+                    jax.ShapeDtypeStruct((1, np_), jnp.int32),
+                ),
+                interpret=interpret,
+            )(pid_r, jnp.asarray([nvr], jnp.int32).reshape(1),
+              oT, dT, tminP, tmaxP, clusters.tv)
+            # only tiles in this round's [first, last] range were visited;
+            # anything else in the output is uninitialized → defined miss
+            first_t = pid_r[0] // cp
+            last_t = pid_r[jnp.maximum(nvr, 1) - 1] // cp
+            ok = jnp.repeat((tile_ids >= first_t) & (tile_ids <= last_t),
+                            TILE_RAYS)
+            return (jnp.where(ok, t_out[0], BIG),
+                    jnp.where(ok, i_out[0], 0))
+
+        if rounds == 1:
+            t_r, i_r = run_round()
+        else:
+            t_r, i_r = jax.lax.cond(
+                nvr > 0, run_round,
+                lambda: (jnp.full((np_,), BIG, jnp.float32),
+                         jnp.zeros((np_,), jnp.int32)),
+            )
+        better = t_r < t_best
+        t_best = jnp.where(better, t_r, t_best)
+        i_best = jnp.where(better, i_r, i_best)
+
+    t = t_best[:n]
+    idx = jnp.clip(i_best[:n], 0, clusters.n_tris - 1)
     return t, idx, n_pairs, overflow

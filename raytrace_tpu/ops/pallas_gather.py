@@ -574,7 +574,8 @@ _rowspan_S.defvjp(_rowspan_S_fwd, _rowspan_S_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "chunk", "job_budget", "r_max"))
+    jax.jit,
+    static_argnames=("interpret", "chunk", "job_budget", "r_max", "rounds"))
 def gather_radius_pallas_rowspan(
     photons_p: Array,      # [P, 3]
     photons_alpha: Array,  # [P, 3]
@@ -595,10 +596,14 @@ def gather_radius_pallas_rowspan(
     chunk: int = ROWSPAN_CHUNK,
     job_budget: int = 1 << 17,
     r_max: int = R_MAX,
+    rounds: int = 1,
 ) -> tuple[Array, Array, Array]:
     """Exact radius search + photon shading over a linear-cell-sorted photon
     grid → (L [N, 3], M [N] int32, overflow [] int32). Same contract as
-    gather_radius_pallas_grid plus the job-budget overflow count.
+    gather_radius_pallas_grid plus the CAPACITY (job_budget·rounds)
+    overflow count — job_budget is SMEM-bound (~2^17 s32 prefetch ids);
+    bigger workloads raise `rounds` instead, each round running one
+    budget's worth of the tile-major job list with additive composition.
 
     DIFFERENTIABLE in photons_alpha and q_kd_over_pi: kd multiplies outside
     the kernel (plain AD) and the weighted-flux sum has a custom VJP running
@@ -746,22 +751,48 @@ def gather_radius_pallas_rowspan(
 
     flat = cov.reshape(-1)
     n_jobs = jnp.sum(flat.astype(jnp.int32))
-    (job_idx,) = jnp.nonzero(flat, size=job_budget,
+    capacity = job_budget * rounds
+    (job_idx,) = jnp.nonzero(flat, size=capacity,
                              fill_value=n_tiles * n_chunks)
-    pid = jnp.minimum(job_idx, n_tiles * n_chunks - 1).astype(jnp.int32)
-    n_valid_jobs = jnp.minimum(n_jobs, job_budget)
-    overflow = jnp.maximum(n_jobs - job_budget, 0)
-
-    out = _rowspan_S(n_chunks, chunk, job_budget, interpret,
-                     adata, gdata, qpT, qr2, qnsT, pid, n_valid_jobs)
-
-    # Defined output under budget overflow: truncation cuts a tile-major
-    # SUFFIX, so tiles strictly before the last included job's tile were
-    # scanned completely; the last tile may be partial and later tiles'
-    # output blocks were never visited (uninitialized). Mask the partial +
-    # unvisited tiles to zero (no flux, M = 0 → no progressive update).
-    last_tile = pid[jnp.maximum(n_valid_jobs, 1) - 1] // n_chunks
+    pid_full = jnp.minimum(job_idx, n_tiles * n_chunks - 1).astype(jnp.int32)
+    n_valid_total = jnp.minimum(n_jobs, capacity)
+    overflow = jnp.maximum(n_jobs - capacity, 0)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+
+    # ---- multi-round execution -------------------------------------------
+    # the per-round job list must fit SMEM (scalar prefetch), so capacity
+    # beyond one budget is bought with EXTRA ROUNDS: round r runs jobs
+    # [r·b, (r+1)·b) of the tile-major list. A tile split across rounds
+    # accumulates PARTIAL sums per round (each round zero-inits its own
+    # visits), and S is additive, so masked per-round outputs just add.
+    # Rounds with no valid jobs are skipped via lax.cond (their grid would
+    # still DMA every block otherwise).
+    out = jnp.zeros((4, n + n_pad), jnp.float32)
+    for rr in range(rounds):
+        pid_r = pid_full[rr * job_budget:(rr + 1) * job_budget]
+        nvr = jnp.clip(n_valid_total - rr * job_budget, 0, job_budget)
+
+        def run_round(pid_r=pid_r, nvr=nvr):
+            out_r = _rowspan_S(n_chunks, chunk, job_budget, interpret,
+                               adata, gdata, qpT, qr2, qnsT, pid_r, nvr)
+            first_t = pid_r[0] // n_chunks
+            last_t = pid_r[jnp.maximum(nvr, 1) - 1] // n_chunks
+            t_has = (tile_ids >= first_t) & (tile_ids <= last_t)
+            return jnp.where(jnp.repeat(t_has, TILE_Q)[None, :], out_r, 0.0)
+
+        if rounds == 1:
+            out = out + run_round()
+        else:
+            out = out + jax.lax.cond(
+                nvr > 0, run_round, lambda: jnp.zeros_like(out)
+            )
+
+    # Defined output under CAPACITY overflow: truncation cuts a tile-major
+    # SUFFIX, so tiles strictly before the last included job's tile were
+    # scanned completely; the last tile may be partial and later tiles were
+    # never visited. Mask the partial + unvisited tiles to zero (no flux,
+    # M = 0 → no progressive update).
+    last_tile = pid_full[jnp.maximum(n_valid_total, 1) - 1] // n_chunks
     tile_ok = jnp.where(overflow > 0, tile_ids < last_tile,
                         tile_ids <= last_tile)
     q_ok = jnp.repeat(tile_ok, TILE_Q)  # [n + n_pad], sorted-query order

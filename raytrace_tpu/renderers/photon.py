@@ -478,6 +478,11 @@ def gathering_pass(
                     # box at ~5×5×7 cells, which overflowed the old 32-row
                     # cap into the whole-box fallback (PERF.md §2)
                     r_max=64,
+                    # 8 rounds × 2^17 jobs ≈ 1M-job capacity: the SMEM
+                    # prefetch bound caps one round's list, large scenes
+                    # (sparse horizon query tiles over 16M-photon maps)
+                    # need the extra rounds to stay exact
+                    rounds=8,
                 )
             )
             isect_ops.debug_warn_nonzero(

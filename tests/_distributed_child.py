@@ -19,6 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=2"
     ).strip()
+# cross-machine CPU AOT cache entries can segfault on load (see conftest)
+os.environ.setdefault("RAYTRACE_TPU_NO_COMPILE_CACHE", "1")
 
 import jax  # noqa: E402
 

@@ -8,6 +8,13 @@ importing jax but BEFORE any backend initialization.
 """
 import os
 
+# The persistent XLA cache is for the (remote-compiled) TPU programs; CPU
+# AOT entries embed the COMPILING machine's CPU features and reloading
+# them on a host with a different feature set can SIGILL (observed: a
+# full-suite crash after the cache accumulated entries from another
+# container host). Tests always run on CPU — skip the cache entirely.
+os.environ.setdefault("RAYTRACE_TPU_NO_COMPILE_CACHE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -139,3 +139,49 @@ def test_builder_attaches_clusters_and_renders():
         jnp.full((n,), 1e-3), jnp.full((n,), 1e30), any_hit=False)
     np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_b), rtol=1e-5)
     assert np.isfinite(np.asarray(img_bvh)).all()
+
+
+def test_cluster_multiround_matches_single_round():
+    """rounds × pair_budget capacity: a pair list overflowing one round's
+    budget but fitting the total must reproduce the single-big-budget
+    result exactly (min-combine across tile-major slices), and capacity
+    overflow must yield a DEFINED miss for the truncated tail instead of
+    uninitialized output."""
+    import jax.numpy as jnp
+
+    from raytrace_tpu.ops import cluster_intersect as ci
+
+    scene = field_scene(n_tris=4000)
+    n = 1024
+    o, d = down_rays(n, seed=8)
+    tmin = jnp.full((n,), 1e-3)
+    tmax = jnp.full((n,), 1e30)
+    t_ref, i_ref, n_pairs, ovf0 = ci.intersect_clusters(
+        scene.clusters, o, d, tmin, tmax, pair_budget=1 << 14,
+        interpret=True,
+    )
+    assert int(ovf0) == 0
+    b = max(2, int(n_pairs) // 5)
+    rounds = -(-int(n_pairs) // b) + 1
+    t_mr, i_mr, _, ovf = ci.intersect_clusters(
+        scene.clusters, o, d, tmin, tmax, pair_budget=b, rounds=rounds,
+        interpret=True,
+    )
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(t_mr), np.asarray(t_ref),
+                               rtol=1e-6)
+    hit = np.asarray(t_ref) < 1e29
+    np.testing.assert_array_equal(np.asarray(i_mr)[hit],
+                                  np.asarray(i_ref)[hit])
+
+    # capacity overflow: defined miss for the dropped tail
+    t_ov, _, _, ovf2 = ci.intersect_clusters(
+        scene.clusters, o, d, tmin, tmax, pair_budget=b, rounds=2,
+        interpret=True,
+    )
+    assert int(ovf2) > 0
+    t_ov = np.asarray(t_ov)
+    assert np.isfinite(t_ov[t_ov < 1e29]).all()
+    # every returned value is either the true hit or a clean miss
+    agree = (t_ov == np.asarray(t_ref)) | (t_ov >= 1e29)
+    assert agree.all()

@@ -460,3 +460,58 @@ def test_pallas_rowspan_zslab_fallback_exact():
         np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
                                    rtol=2e-4, atol=1e-5, err_msg=str(r_max))
         np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+
+
+def test_pallas_rowspan_multiround_exact_and_grad():
+    """Multi-round execution (rounds × job_budget capacity): a job list that
+    overflows ONE round's budget but fits the total capacity must stay
+    exact — including tiles whose jobs straddle a round boundary (partial
+    per-round sums add) — and the custom VJP must match dense AD through
+    the round decomposition."""
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+    from raytrace_tpu.ops import photon_grid as pg
+
+    pp, pa, pw, pv, qp, r2, ns, kd = _rowspan_fixture(seed=77)
+    cell = float(jnp.sqrt(r2.max()))
+    pm = pg.PhotonMap(p=pp, alpha=pa, wi=pw, valid=pv)
+    L_ref, m_ref = pg.gather_radius_dense(pm, qp, r2, ns, kd)
+
+    # reference single-round run to learn the job count, then shrink the
+    # per-round budget below it
+    _, _, ovf_probe = pg_pallas.gather_radius_pallas_rowspan(
+        pp, pa, pw, pv, cell, qp, r2, ns, kd, interpret=True, chunk=256,
+        job_budget=8, rounds=1,
+    )
+    n_jobs = int(ovf_probe) + 8
+    b = max(2, n_jobs // 5)  # forces ≥5 rounds worth of jobs
+    rounds = -(-n_jobs // b) + 1
+    L, m, ovf = pg_pallas.gather_radius_pallas_rowspan(
+        pp, pa, pw, pv, cell, qp, r2, ns, kd, interpret=True, chunk=256,
+        job_budget=b, rounds=rounds,
+    )
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+
+    cot = jnp.asarray(
+        np.random.default_rng(1).normal(size=qp.shape).astype(np.float32))
+
+    def f_mr(alpha, kd_):
+        L, _, _ = pg_pallas.gather_radius_pallas_rowspan(
+            pp, alpha, pw, pv, cell, qp, r2, ns, kd_, interpret=True,
+            chunk=256, job_budget=b, rounds=rounds,
+        )
+        return jnp.sum(L * cot)
+
+    def f_dense(alpha, kd_):
+        L, _ = pg.gather_radius_dense(pm.replace(alpha=alpha), qp, r2, ns,
+                                      kd_)
+        return jnp.sum(L * cot)
+
+    g1 = jax.grad(f_mr, argnums=(0, 1))(pa, kd)
+    g2 = jax.grad(f_dense, argnums=(0, 1))(pa, kd)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-4, atol=1e-5)
