@@ -83,6 +83,11 @@ class RenderConfig:
     # -- intersection -------------------------------------------------------
     use_bvh: bool = False             # brute-force is faster for tiny scenes
     ray_chunk: int = 0                # if >0, process rays in chunks this size
+    intersect_rounds: int = 1         # cluster-intersector pair capacity =
+                                      # rounds × 2^17 (SMEM caps one round);
+                                      # raise for huge scenes with incoherent
+                                      # rays so truncated pairs (clean
+                                      # misses, counted) stay at zero
 
     # -- wavefront compaction ----------------------------------------------
     # After the first full-batch bounce, the specular-chain and photon walks

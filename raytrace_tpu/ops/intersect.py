@@ -330,7 +330,8 @@ def _pallas_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
+def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
+                       rounds: int = 1):
     """Acceleration dispatch: cluster-binned Pallas intersector on TPU,
     BVH wavefront traversal on CPU, dense scan/megakernel for small
     scenes."""
@@ -339,7 +340,7 @@ def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
         from raytrace_tpu.ops.bvh import reintersect_winner
 
         t, idx, _, overflow = ci.intersect_clusters(
-            scene.clusters, o, d, tmin, tmax
+            scene.clusters, o, d, tmin, tmax, rounds=rounds
         )
         _warn_pair_overflow(overflow)
         found = t < jnp.minimum(BIG, tmax)
@@ -394,12 +395,13 @@ def _warn_pair_overflow(overflow):
     )
 
 
-def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
+def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
+                        rounds: int = 1):
     if scene.clusters is not None and _pallas_enabled():
         from raytrace_tpu.ops import cluster_intersect as ci
 
         t, _, _, overflow = ci.intersect_clusters(
-            scene.clusters, o, d, tmin, tmax
+            scene.clusters, o, d, tmin, tmax, rounds=rounds
         )
         _warn_pair_overflow(overflow)
         return t < jnp.minimum(BIG, tmax)
@@ -421,9 +423,12 @@ def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int):
 
 
 @partial(jax.jit, static_argnames=("tri_chunk",))
-def intersect(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256) -> Intersection:
-    """Closest hit across all shape families."""
-    t_tri, i_tri, beta, gamma = _closest_triangles(scene, o, d, tmin, tmax, tri_chunk)
+def intersect(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
+              rounds: int = 1) -> Intersection:
+    """Closest hit across all shape families. `rounds` buys cluster-pair
+    capacity at scale (cluster_intersect.intersect_clusters)."""
+    t_tri, i_tri, beta, gamma = _closest_triangles(
+        scene, o, d, tmin, tmax, tri_chunk, rounds=rounds)
     t_sph, i_sph = intersect_spheres(scene, o, d, tmin, tmax)
     t_dsk, i_dsk = intersect_disks(scene, o, d, tmin, tmax)
 
@@ -458,11 +463,13 @@ def intersect(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256) -> Intersect
     )
 
 
-@partial(jax.jit, static_argnames=("tri_chunk",))
-def occluded(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256) -> Array:
+@partial(jax.jit, static_argnames=("tri_chunk", "rounds"))
+def occluded(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
+             rounds: int = 1) -> Array:
     """Any-hit within (tmin, tmax) — the shadow ray type
     (reference: raytracing.cu:143-147 shadow_any_hit)."""
-    hit_tri = _occluded_triangles(scene, o, d, tmin, tmax, tri_chunk)
+    hit_tri = _occluded_triangles(scene, o, d, tmin, tmax, tri_chunk,
+                                  rounds=rounds)
     t_sph, _ = intersect_spheres(scene, o, d, tmin, tmax)
     t_dsk, _ = intersect_disks(scene, o, d, tmin, tmax)
     return hit_tri | (t_sph < BIG) | (t_dsk < BIG)

@@ -108,7 +108,8 @@ def camera_pass(
     def body(state):
         depth, active, o, d, atten, rec = state
         tmin = jnp.full((n,), eps)
-        hit = isect_ops.intersect(scene, o, d, tmin, jnp.full((n,), BIG))
+        hit = isect_ops.intersect(scene, o, d, tmin, jnp.full((n,), BIG),
+                                  rounds=config.intersect_rounds)
         spec = mat_ops.is_specular(scene.materials, hit.mat)
         spec_hit = active & hit.valid & spec
         diff_hit = active & hit.valid & ~spec
@@ -185,7 +186,8 @@ def _camera_pass_compact(
 
     # ---- bounce 0: full batch --------------------------------------------
     hit = isect_ops.intersect(
-        scene, o, d, jnp.full((n,), eps), jnp.full((n,), BIG)
+        scene, o, d, jnp.full((n,), eps), jnp.full((n,), BIG),
+        rounds=config.intersect_rounds,
     )
     spec = mat_ops.is_specular(scene.materials, hit.mat)
     spec_hit = hit.valid & spec
@@ -232,7 +234,8 @@ def _camera_pass_compact(
         """One specular bounce for the k queued lanes (k-sized ops only)."""
         bounce, alive, o_k, d_k, atten_k, st_k, rk = s
         hit = isect_ops.intersect(
-            scene, o_k, d_k, jnp.full((k,), eps), jnp.full((k,), BIG)
+            scene, o_k, d_k, jnp.full((k,), eps), jnp.full((k,), BIG),
+            rounds=config.intersect_rounds,
         )
         spec = mat_ops.is_specular(scene.materials, hit.mat)
         spec_k = alive & hit.valid & spec
@@ -359,6 +362,7 @@ def direct_lighting(
             scene, rec.p, uwi,
             jnp.full((n,), eps, jnp.float32),
             jnp.full((n,), 1.0 - eps, jnp.float32),
+            rounds=config.intersect_rounds,
         )
         wi = vec.normalize(uwi)
         fr = mat_ops.f(scene.materials, rec.mat, wo, wi)

@@ -220,7 +220,8 @@ def _photon_step(
     max_depth = config.max_photon_depth
     eps = jnp.float32(config.scene_epsilon)
     hit = isect_ops.intersect(
-        scene, o, d, jnp.full((width,), eps), jnp.full((width,), BIG)
+        scene, o, d, jnp.full((width,), eps), jnp.full((width,), BIG),
+        rounds=config.intersect_rounds,
     )
     alive = act & hit.valid  # miss → photon dies (photontracing.cu:193)
     spec = mat_ops.is_specular(scene.materials, hit.mat)
