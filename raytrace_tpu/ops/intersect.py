@@ -422,7 +422,7 @@ def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
     return t_tri < BIG
 
 
-@partial(jax.jit, static_argnames=("tri_chunk",))
+@partial(jax.jit, static_argnames=("tri_chunk", "rounds"))
 def intersect(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
               rounds: int = 1) -> Intersection:
     """Closest hit across all shape families. `rounds` buys cluster-pair

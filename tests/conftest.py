@@ -24,3 +24,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules. The full suite
+    compiles hundreds of XLA CPU programs in one process; past ~2/3 of the
+    run the accumulated compiler/executable state has twice segfaulted
+    inside XLA:CPU compilation (full-suite only — every module passes in
+    isolation). Modules share few compilations, so dropping the jit caches
+    at module boundaries costs little and keeps the process lean."""
+    yield
+    jax.clear_caches()
+    gc.collect()
