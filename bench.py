@@ -201,6 +201,12 @@ def run_combined(n_tris: int = 1 << 22, paths: int = 1 << 22,
         "ppm_4mtri_16mphotons_slots": paths * config.max_photon_depth,
         "ppm_4mtri_16mphotons_valid_photons": int(aux["valid_photons"]),
         "ppm_4mtri_16mphotons_gather_overflow": int(aux["gather_overflow"]),
+        # incoherent photon-BOUNCE rays exceed the cluster intersector's
+        # per-round pair capacity at this scale; truncated pairs are clean
+        # counted misses, so the deposit count above is the honest measure
+        # of coverage (PERF.md §6 — the round-4 kernel target)
+        "ppm_4mtri_16mphotons_pair_capacity_limited":
+            int(aux["valid_photons"]) < paths // 4,
     }
 
 
