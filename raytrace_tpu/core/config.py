@@ -100,7 +100,7 @@ class RenderConfig:
     # differentiable path (the fixed-trip fori_loop stays full-batch).
     wavefront_compact: bool = True
     compact_queue: int = 0            # queue width; 0 = auto (max(8192, n/8))
-    compact_warm_steps: int = 3       # photon-walk full-width steps before
+    compact_warm_steps: int = 4       # photon-walk full-width steps before
                                       # the first compaction: survivors decay
                                       # slowly (RR ≈ y(kd)/bounce), so
                                       # compacting too early splits the walk
