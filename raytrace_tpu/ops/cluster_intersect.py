@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
 CLUSTER_SIZE = 512
-TILE_RAYS = 256
+TILE_RAYS = 128
 
 
 @flax.struct.dataclass
