@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e30
-CLUSTER_SIZE = 512
+CLUSTER_SIZE = 256
 TILE_RAYS = 128
 
 
