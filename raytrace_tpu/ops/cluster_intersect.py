@@ -336,7 +336,8 @@ def intersect_clusters(
     ray1 = pl.BlockSpec((1, TILE_RAYS),
                         lambda p, pid_, npr: (0, pid_[p] // cp),
                         memory_space=pltpu.VMEM)
-    tvspec = pl.BlockSpec((1, 9, CLUSTER_SIZE),
+    cluster_size = clusters.tv.shape[2]  # per-scene (builder heuristic)
+    tvspec = pl.BlockSpec((1, 9, cluster_size),
                           lambda p, pid_, npr: (pid_[p] % cp, 0, 0),
                           memory_space=pltpu.VMEM)
     out1 = pl.BlockSpec((1, TILE_RAYS),
@@ -350,7 +351,7 @@ def intersect_clusters(
             (1, TILE_RAYS), lambda p, pid_, npr: (0, pid_[p] // cp),
             memory_space=pltpu.VMEM)),
     )
-    kern = functools.partial(_pair_kernel, cluster_size=CLUSTER_SIZE, cp=cp)
+    kern = functools.partial(_pair_kernel, cluster_size=cluster_size, cp=cp)
 
     # ---- multi-round min-combine (see docstring) --------------------------
     t_best = jnp.full((np_,), BIG, jnp.float32)

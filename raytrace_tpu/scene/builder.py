@@ -275,9 +275,16 @@ class SceneBuilder:
             tris_np = {k: v[perm] for k, v in tris_np.items()}
             bvh_tree = bvh_ops.bvh_from_arrays(arrays)
             # cluster structure shares the BVH-leaf (spatially coherent)
-            # triangle order; the TPU intersector prefers it
+            # triangle order; the TPU intersector prefers it. Cluster size
+            # trades stage-C pair-test waste (finer wins — PERF.md §3)
+            # against the DENSE cull + stage-B mask, which are
+            # O(rays × clusters): at multi-million-triangle scale the cull
+            # dominates, so big scenes keep coarser clusters (measured:
+            # 256-tri clusters doubled the 4M-tri combined frame via the
+            # 2× cluster count).
             cluster_set = ci.build_clusters(
-                tris_np["v0"], tris_np["v1"], tris_np["v2"]
+                tris_np["v0"], tris_np["v1"], tris_np["v2"],
+                cluster_size=512 if n_tris >= (1 << 21) else 256,
             )
         tris = Triangles(**{k: jnp.asarray(v) for k, v in tris_np.items()})
         lights = self._build_lights(self._world_bounds_np(tris_np))
