@@ -113,11 +113,11 @@ TILE_GROUP = 8
 
 
 def _cull_kernel(o_ref, d_ref, tmin_ref, tmax_ref, cmin_ref, cmax_ref,
-                 out_ref):
+                 out_ref, *, tile_rays: int):
     r = lambda a: a[:, None]
     c = lambda a: a[None, :]
     for g in range(TILE_GROUP):
-        s = slice(g * TILE_RAYS, (g + 1) * TILE_RAYS)
+        s = slice(g * tile_rays, (g + 1) * tile_rays)
         ox, oy, oz = o_ref[0, s], o_ref[1, s], o_ref[2, s]
         inv = lambda a: 1.0 / jnp.where(a == 0.0, 1e-30, a)
         ix, iy, iz = inv(d_ref[0, s]), inv(d_ref[1, s]), inv(d_ref[2, s])
@@ -141,7 +141,8 @@ def _cull_kernel(o_ref, d_ref, tmin_ref, tmax_ref, cmin_ref, cmax_ref,
 CULL_CHUNK = 2048  # clusters per cull block: [TILE_RAYS, CULL_CHUNK] VMEM
 
 
-def _cull(clusters: ClusterSet, oT, dT, tminP, tmaxP, n_tiles, interpret):
+def _cull(clusters: ClusterSet, oT, dT, tminP, tmaxP, n_tiles, interpret,
+          tile_rays: int = TILE_RAYS):
     cp = clusters.cmin.shape[0]
     chunk = min(CULL_CHUNK, cp)
     assert cp % chunk == 0 or cp < CULL_CHUNK, (cp, chunk)
@@ -151,7 +152,7 @@ def _cull(clusters: ClusterSet, oT, dT, tminP, tmaxP, n_tiles, interpret):
     cmaxT = jnp.pad(clusters.cmax.T, ((0, 0), (0, cpad)),
                     constant_values=jnp.float32(-BIG))
     cpp = cp + cpad
-    gr = TILE_GROUP * TILE_RAYS
+    gr = TILE_GROUP * tile_rays
     assert oT.shape[1] % gr == 0, (oT.shape, gr)
     ray3 = pl.BlockSpec((3, gr), lambda i, j: (0, i),
                         memory_space=pltpu.VMEM)
@@ -162,7 +163,7 @@ def _cull(clusters: ClusterSet, oT, dT, tminP, tmaxP, n_tiles, interpret):
     out = pl.BlockSpec((TILE_GROUP, chunk), lambda i, j: (i, j),
                        memory_space=pltpu.VMEM)
     hit = pl.pallas_call(
-        _cull_kernel,
+        functools.partial(_cull_kernel, tile_rays=tile_rays),
         grid=(n_tiles // TILE_GROUP, cpp // chunk),
         in_specs=[ray3, ray3, ray1, ray1, cl3, cl3],
         out_specs=out,
@@ -274,7 +275,13 @@ def intersect_clusters(
     o = sg(o); d = sg(d); tmin = sg(tmin); tmax = sg(tmax)
     n = o.shape[0]
 
-    if sort_rays and n > TILE_RAYS:
+    # tile granularity: fine tiles waste less stage-C work (every ray in
+    # a tile pays for every cluster any member culls into), but the
+    # stage-B [tiles, clusters] mask is O(rays·clusters/tile_rays) — at
+    # multi-million-ray launches the coarser tile wins (PERF.md §3)
+    tile_rays = 256 if n >= (1 << 21) else TILE_RAYS
+
+    if sort_rays and n > tile_rays:
         from raytrace_tpu.ops import photon_grid as pg
 
         smin = jnp.min(clusters.cmin, axis=0)  # padding rows are +inf
@@ -301,17 +308,18 @@ def intersect_clusters(
             rounds=rounds,
         )
         return t_s[unsort], idx_s[unsort], n_pairs, overflow
-    n_pad = -n % (TILE_RAYS * TILE_GROUP)  # cull groups 8 tiles per step
+    n_pad = -n % (tile_rays * TILE_GROUP)  # cull groups 8 tiles per step
     pad_r = lambda x: jnp.pad(x.T, ((0, 0), (0, n_pad)))
     oT, dT = pad_r(o), pad_r(d)
     tminP = jnp.pad(tmin, (0, n_pad))[None, :]
     # padded rays: tmax 0 → cull + intersect never match
     tmaxP = jnp.pad(tmax, (0, n_pad))[None, :]
     np_ = n + n_pad
-    n_tiles = np_ // TILE_RAYS
+    n_tiles = np_ // tile_rays
     cp = clusters.cmin.shape[0]
 
-    hit = _cull(clusters, oT, dT, tminP, tmaxP, n_tiles, interpret)
+    hit = _cull(clusters, oT, dT, tminP, tmaxP, n_tiles, interpret,
+                tile_rays=tile_rays)
     # every tile gets a seed pair (tile, cluster 0): guarantees the tile's
     # output block is visited (and initialized to "miss") even when the
     # cull found nothing, and pins the fill-pair tile (n_tiles-1) to a tile
@@ -330,17 +338,17 @@ def intersect_clusters(
     overflow = jnp.maximum(n_pairs - capacity, 0)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
 
-    ray3 = pl.BlockSpec((3, TILE_RAYS),
+    ray3 = pl.BlockSpec((3, tile_rays),
                         lambda p, pid_, npr: (0, pid_[p] // cp),
                         memory_space=pltpu.VMEM)
-    ray1 = pl.BlockSpec((1, TILE_RAYS),
+    ray1 = pl.BlockSpec((1, tile_rays),
                         lambda p, pid_, npr: (0, pid_[p] // cp),
                         memory_space=pltpu.VMEM)
     cluster_size = clusters.tv.shape[2]  # per-scene (builder heuristic)
     tvspec = pl.BlockSpec((1, 9, cluster_size),
                           lambda p, pid_, npr: (pid_[p] % cp, 0, 0),
                           memory_space=pltpu.VMEM)
-    out1 = pl.BlockSpec((1, TILE_RAYS),
+    out1 = pl.BlockSpec((1, tile_rays),
                         lambda p, pid_, npr: (0, pid_[p] // cp),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -348,7 +356,7 @@ def intersect_clusters(
         grid=(pair_budget,),
         in_specs=[ray3, ray3, ray1, ray1, tvspec],
         out_specs=(out1, pl.BlockSpec(
-            (1, TILE_RAYS), lambda p, pid_, npr: (0, pid_[p] // cp),
+            (1, tile_rays), lambda p, pid_, npr: (0, pid_[p] // cp),
             memory_space=pltpu.VMEM)),
     )
     kern = functools.partial(_pair_kernel, cluster_size=cluster_size, cp=cp)
@@ -376,7 +384,7 @@ def intersect_clusters(
             first_t = pid_r[0] // cp
             last_t = pid_r[jnp.maximum(nvr, 1) - 1] // cp
             ok = jnp.repeat((tile_ids >= first_t) & (tile_ids <= last_t),
-                            TILE_RAYS)
+                            tile_rays)
             return (jnp.where(ok, t_out[0], BIG),
                     jnp.where(ok, i_out[0], 0))
 
