@@ -245,7 +245,8 @@ def _pair_kernel(pid_ref, np_ref, o_ref, d_ref, tmin_ref, tmax_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pair_budget", "interpret", "sort_rays", "rounds"))
+    static_argnames=("pair_budget", "interpret", "sort_rays", "rounds",
+                     "tile_rays"))
 def intersect_clusters(
     clusters: ClusterSet,
     o: Array, d: Array, tmin: Array, tmax: Array,
@@ -253,6 +254,7 @@ def intersect_clusters(
     interpret: bool = False,
     sort_rays: bool = True,
     rounds: int = 1,
+    tile_rays: int | None = None,
 ):
     """Closest hit through the cluster structure → (t [N], idx [N],
     n_pairs [], overflow [] int32). idx is the GLOBAL triangle index
@@ -279,7 +281,8 @@ def intersect_clusters(
     # a tile pays for every cluster any member culls into), but the
     # stage-B [tiles, clusters] mask is O(rays·clusters/tile_rays) — at
     # multi-million-ray launches the coarser tile wins (PERF.md §3)
-    tile_rays = 256 if n >= (1 << 21) else TILE_RAYS
+    if tile_rays is None:
+        tile_rays = 256 if n >= (1 << 21) else TILE_RAYS
 
     if sort_rays and n > tile_rays:
         from raytrace_tpu.ops import photon_grid as pg
@@ -305,7 +308,7 @@ def intersect_clusters(
         t_s, idx_s, n_pairs, overflow = intersect_clusters(
             clusters, o[order], d[order], tmin[order], tmax[order],
             pair_budget=pair_budget, interpret=interpret, sort_rays=False,
-            rounds=rounds,
+            rounds=rounds, tile_rays=tile_rays,
         )
         return t_s[unsort], idx_s[unsort], n_pairs, overflow
     n_pad = -n % (tile_rays * TILE_GROUP)  # cull groups 8 tiles per step

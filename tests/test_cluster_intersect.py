@@ -185,3 +185,27 @@ def test_cluster_multiround_matches_single_round():
     # every returned value is either the true hit or a clean miss
     agree = (t_ov == np.asarray(t_ref)) | (t_ov >= 1e29)
     assert agree.all()
+
+
+def test_cluster_tile_sizes_agree():
+    """The adaptive tile-size branches (128-ray tiles below 2M rays, 256 at
+    launch scale) must produce identical closest hits — exercised here by
+    overriding tile_rays explicitly, since CI ray counts never reach the
+    heuristic threshold."""
+    import jax.numpy as jnp
+
+    from raytrace_tpu.ops import cluster_intersect as ci
+
+    scene = field_scene(n_tris=4000)
+    n = 2048
+    o, d = down_rays(n, seed=13)
+    tmin = jnp.full((n,), 1e-3)
+    tmax = jnp.full((n,), 1e30)
+    t_a, i_a, _, ovf_a = ci.intersect_clusters(
+        scene.clusters, o, d, tmin, tmax, interpret=True, tile_rays=128)
+    t_b, i_b, _, ovf_b = ci.intersect_clusters(
+        scene.clusters, o, d, tmin, tmax, interpret=True, tile_rays=256)
+    assert int(ovf_a) == 0 and int(ovf_b) == 0
+    np.testing.assert_allclose(np.asarray(t_a), np.asarray(t_b), rtol=1e-6)
+    hit = np.asarray(t_a) < 1e29
+    np.testing.assert_array_equal(np.asarray(i_a)[hit], np.asarray(i_b)[hit])
