@@ -172,10 +172,10 @@ def run_combined(n_tris: int = 1 << 22, paths: int = 1 << 22,
         width=size, height=size, spp=1, scene_epsilon=1e-3,
         photon_paths=paths, photon_passes=1, max_photon_bounces=8,
         # tight radius cap: PPM's initial radius is a free per-pixel
-        # parameter, and the rowspan gather's cell size tracks the LARGEST
-        # live radius — one distant pixel's footprint would otherwise blow
-        # the cell size up and with it every tile's chunk spans (measured:
-        # 8.6M jobs → 41k jobs, overflow → 0)
+        # parameter, and the rowspan gather's cell size tracks the q90
+        # live radius with per-tile adaptive reach — a loose cap still
+        # inflates the typical tile's chunk spans (measured with the old
+        # global-max rule: 8.6M jobs → 41k jobs, overflow → 0)
         footprint_radius_scale=8.0, initial_radius2=0.04,
     )
     t0 = time.perf_counter()

@@ -244,12 +244,18 @@ def mesh_edge_adjacency(faces) -> tuple:
     fid = np.tile(np.arange(len(faces)), 3)
     key = np.sort(e, axis=1)
     uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    # grouped assignment of the first two face ids per unique edge, fully
+    # vectorized (a Python loop over 3F half-edges is pathological at
+    # mesh scale — 4M tris → 12M interpreter iterations)
+    order = np.argsort(inv, kind="stable")
+    inv_s, fid_s = inv[order], fid[order]
+    first = np.concatenate([[True], inv_s[1:] != inv_s[:-1]])
+    rank = np.arange(len(inv_s)) - np.maximum.accumulate(
+        np.where(first, np.arange(len(inv_s)), -1)
+    )
     edge_fid = np.full((len(uniq), 2), -1, np.int64)
-    for k, f in zip(inv, fid):
-        if edge_fid[k, 0] < 0:
-            edge_fid[k, 0] = f
-        elif edge_fid[k, 1] < 0:
-            edge_fid[k, 1] = f
+    keep = rank < 2  # non-manifold edges (>2 faces) keep the first two
+    edge_fid[inv_s[keep], rank[keep]] = fid_s[keep]
     return uniq.astype("int32"), edge_fid.astype("int32")
 
 

@@ -46,6 +46,11 @@ class Intersection:
     uv: Array  # [N, 2]
     mat: Array  # [N] int32
     light: Array  # [N] int32
+    # [] int32: cluster pair/subpair budget overflow for THIS launch — 0
+    # means the accelerated traversal was exact; renderers accumulate it
+    # into their aux dicts so hosts can assert (ADVICE r3: the in-jit warn
+    # alone is invisible on TPU backends without host callbacks)
+    pair_overflow: Array = None
 
 
 def _pow2_ceil(n: int) -> int:
@@ -330,35 +335,53 @@ def _pallas_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _engine() -> str:
+    """Cluster-scene engine choice: 'epoch' (epoch-subtile, exact for
+    incoherent loads — ops/epoch_intersect.py) or 'cluster' (the round-3
+    tile engine). RAYTRACE_TPU_ENGINE overrides for A/B measurement."""
+    import os
+
+    return os.environ.get("RAYTRACE_TPU_ENGINE", "epoch")
+
+
 def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
                        rounds: int = 1):
     """Acceleration dispatch: cluster-binned Pallas intersector on TPU,
     BVH wavefront traversal on CPU, dense scan/megakernel for small
-    scenes."""
+    scenes. Returns (t, idx, beta, gamma, pair_overflow)."""
     if scene.clusters is not None and _pallas_enabled():
-        from raytrace_tpu.ops import cluster_intersect as ci
         from raytrace_tpu.ops.bvh import reintersect_winner
 
-        t, idx, _, overflow = ci.intersect_clusters(
-            scene.clusters, o, d, tmin, tmax, rounds=rounds
-        )
+        if _engine() == "epoch" and scene.clusters.feat is not None:
+            from raytrace_tpu.ops import epoch_intersect as ei
+
+            t, idx, _, overflow = ei.intersect_epochs(
+                scene.clusters, o, d, tmin, tmax
+            )
+        else:
+            from raytrace_tpu.ops import cluster_intersect as ci
+
+            t, idx, _, overflow = ci.intersect_clusters(
+                scene.clusters, o, d, tmin, tmax, rounds=rounds
+            )
         _warn_pair_overflow(overflow)
         found = t < jnp.minimum(BIG, tmax)
         t_diff, beta, gamma = reintersect_winner(scene.tris, idx, o, d, found)
-        return t_diff, idx, beta, gamma
+        return t_diff, idx, beta, gamma, overflow
+    zero = jnp.int32(0)
     if scene.bvh is not None:
         from raytrace_tpu.ops import bvh as bvh_ops
 
         return bvh_ops.intersect_triangles_bvh(
             scene.bvh, scene.tris, o, d, tmin, tmax
-        )
+        ) + (zero,)
     if _pallas_enabled():
         from raytrace_tpu.ops import pallas_intersect
 
         return pallas_intersect.intersect_triangles_pallas(
             scene.tris, o, d, tmin, tmax
-        )
-    return intersect_triangles(scene, o, d, tmin, tmax, tri_chunk)
+        ) + (zero,)
+    return intersect_triangles(scene, o, d, tmin, tmax, tri_chunk) + (zero,)
 
 
 def debug_warn_nonzero(value, message: str):
@@ -397,29 +420,38 @@ def _warn_pair_overflow(overflow):
 
 def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
                         rounds: int = 1):
+    """Any-hit within (tmin, tmax) → (occluded [N] bool, pair_overflow)."""
+    zero = jnp.int32(0)
     if scene.clusters is not None and _pallas_enabled():
-        from raytrace_tpu.ops import cluster_intersect as ci
+        if _engine() == "epoch" and scene.clusters.feat is not None:
+            from raytrace_tpu.ops import epoch_intersect as ei
 
-        t, _, _, overflow = ci.intersect_clusters(
-            scene.clusters, o, d, tmin, tmax, rounds=rounds
-        )
+            t, _, _, overflow = ei.intersect_epochs(
+                scene.clusters, o, d, tmin, tmax
+            )
+        else:
+            from raytrace_tpu.ops import cluster_intersect as ci
+
+            t, _, _, overflow = ci.intersect_clusters(
+                scene.clusters, o, d, tmin, tmax, rounds=rounds
+            )
         _warn_pair_overflow(overflow)
-        return t < jnp.minimum(BIG, tmax)
+        return t < jnp.minimum(BIG, tmax), overflow
     if scene.bvh is not None:
         from raytrace_tpu.ops import bvh as bvh_ops
 
         return bvh_ops.occluded_triangles_bvh(
             scene.bvh, scene.tris, o, d, tmin, tmax
-        )
+        ), zero
     if _pallas_enabled():
         from raytrace_tpu.ops import pallas_intersect
 
         t_tri, _, _, _ = pallas_intersect.intersect_triangles_pallas(
             scene.tris, o, d, tmin, tmax
         )
-        return t_tri < BIG
+        return t_tri < BIG, zero
     t_tri, _, _, _ = intersect_triangles(scene, o, d, tmin, tmax, tri_chunk)
-    return t_tri < BIG
+    return t_tri < BIG, zero
 
 
 @partial(jax.jit, static_argnames=("tri_chunk", "rounds"))
@@ -427,7 +459,7 @@ def intersect(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
               rounds: int = 1) -> Intersection:
     """Closest hit across all shape families. `rounds` buys cluster-pair
     capacity at scale (cluster_intersect.intersect_clusters)."""
-    t_tri, i_tri, beta, gamma = _closest_triangles(
+    t_tri, i_tri, beta, gamma, ovf = _closest_triangles(
         scene, o, d, tmin, tmax, tri_chunk, rounds=rounds)
     t_sph, i_sph = intersect_spheres(scene, o, d, tmin, tmax)
     t_dsk, i_dsk = intersect_disks(scene, o, d, tmin, tmax)
@@ -460,16 +492,22 @@ def intersect(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
         uv=uv,
         mat=jnp.where(valid, mat, -1),
         light=jnp.where(valid, light, -1),
+        pair_overflow=ovf,
     )
 
 
 @partial(jax.jit, static_argnames=("tri_chunk", "rounds"))
-def occluded(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
-             rounds: int = 1) -> Array:
-    """Any-hit within (tmin, tmax) — the shadow ray type
-    (reference: raytracing.cu:143-147 shadow_any_hit)."""
-    hit_tri = _occluded_triangles(scene, o, d, tmin, tmax, tri_chunk,
-                                  rounds=rounds)
+def occluded_aux(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
+                 rounds: int = 1) -> tuple[Array, Array]:
+    """Any-hit within (tmin, tmax) — the shadow ray type (reference:
+    raytracing.cu:143-147 shadow_any_hit) → (occluded, pair_overflow)."""
+    hit_tri, ovf = _occluded_triangles(scene, o, d, tmin, tmax, tri_chunk,
+                                       rounds=rounds)
     t_sph, _ = intersect_spheres(scene, o, d, tmin, tmax)
     t_dsk, _ = intersect_disks(scene, o, d, tmin, tmax)
-    return hit_tri | (t_sph < BIG) | (t_dsk < BIG)
+    return hit_tri | (t_sph < BIG) | (t_dsk < BIG), ovf
+
+
+def occluded(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
+             rounds: int = 1) -> Array:
+    return occluded_aux(scene, o, d, tmin, tmax, tri_chunk, rounds)[0]

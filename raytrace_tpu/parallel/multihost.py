@@ -68,6 +68,12 @@ def make_hierarchical_mesh(devices=None) -> Mesh:
     (ICI), the outer axis crosses hosts (DCN). Single-host: hosts axis = 1."""
     devices = list(devices if devices is not None else jax.devices())
     n_proc = max(1, jax.process_count())
+    if len(devices) % n_proc != 0:
+        # non-uniform device subset (e.g. a truncated list under a
+        # multi-process run): a (hosts, chips) factorization doesn't exist,
+        # so degrade to a flat single-host mesh instead of reshape-crashing
+        return Mesh(np.asarray(devices).reshape(1, len(devices)),
+                    ("hosts", "chips"))
     per_host = len(devices) // n_proc
     n_slices = len({getattr(d, "slice_index", 0) for d in devices})
     if n_proc > 1 and n_slices == n_proc:

@@ -75,19 +75,23 @@ def compact_queue_size(config: RenderConfig, n: int) -> int:
 
 
 def camera_pass(
-    scene: Scene, o: Array, d: Array, config: RenderConfig, rays=None
-) -> CameraRecords:
+    scene: Scene, o: Array, d: Array, config: RenderConfig, rays=None,
+    return_aux: bool = False,
+):
     """Trace camera rays, following specular chains up to the cap
     (reference: raytracing.cu:87-128).
 
     rays: optional RayDifferentials for the INITIAL segment; when given, the
     pixel footprint radius is recorded at the first hit (differentials are
     not propagated through specular chains — the footprint is a radius
-    seed, not texture filtering)."""
+    seed, not texture filtering).
+    return_aux: also return {'pair_overflow': int32} — accumulated cluster
+    pair-budget overflow across the chain (0 = traversal was exact)."""
     n = o.shape[0]
     k = compact_queue_size(config, n)
     if k:
-        return _camera_pass_compact(scene, o, d, config, rays, k)
+        return _camera_pass_compact(scene, o, d, config, rays, k,
+                                    return_aux)
     eps = jnp.float32(config.scene_epsilon)
 
     def empty_records():
@@ -106,10 +110,11 @@ def camera_pass(
         return (depth <= config.max_specular_depth) & jnp.any(active)
 
     def body(state):
-        depth, active, o, d, atten, rec = state
+        depth, active, o, d, atten, rec, ovf = state
         tmin = jnp.full((n,), eps)
         hit = isect_ops.intersect(scene, o, d, tmin, jnp.full((n,), BIG),
                                   rounds=config.intersect_rounds)
+        ovf = ovf + hit.pair_overflow
         spec = mat_ops.is_specular(scene.materials, hit.mat)
         spec_hit = active & hit.valid & spec
         diff_hit = active & hit.valid & ~spec
@@ -148,12 +153,12 @@ def camera_pass(
         o2 = jnp.where(spec_hit[:, None], hit.p, o)
         d2 = jnp.where(spec_hit[:, None], wi, d)
         atten2 = jnp.where(spec_hit[:, None], atten * thr, atten)
-        return depth + 1, spec_hit, o2, d2, atten2, rec
+        return depth + 1, spec_hit, o2, d2, atten2, rec, ovf
 
-    depth, active, o, d, atten, rec = bounded_loop(
+    depth, active, o, d, atten, rec, ovf = bounded_loop(
         cond, body,
         (jnp.int32(0), jnp.ones((n,), bool), o, d,
-         jnp.ones((n, 3), jnp.float32), empty_records()),
+         jnp.ones((n, 3), jnp.float32), empty_records(), jnp.int32(0)),
         n_iters=config.max_specular_depth + 1,
         differentiable=config.differentiable,
     )
@@ -163,12 +168,15 @@ def camera_pass(
         status=jnp.where(active, 2, rec.status),
         atten=atten,
     )
+    if return_aux:
+        return rec, dict(pair_overflow=ovf)
     return rec
 
 
 def _camera_pass_compact(
-    scene: Scene, o: Array, d: Array, config: RenderConfig, rays, k: int
-) -> CameraRecords:
+    scene: Scene, o: Array, d: Array, config: RenderConfig, rays, k: int,
+    return_aux: bool = False,
+):
     """camera_pass with survivor compaction: bounce 0 runs full-batch (every
     ray is live), then the specular survivors — a few percent of the batch —
     are gathered into a static k-wide queue and processed TO COMPLETION by
@@ -189,6 +197,7 @@ def _camera_pass_compact(
         scene, o, d, jnp.full((n,), eps), jnp.full((n,), BIG),
         rounds=config.intersect_rounds,
     )
+    ovf0 = hit.pair_overflow
     spec = mat_ops.is_specular(scene.materials, hit.mat)
     spec_hit = hit.valid & spec
     diff_hit = hit.valid & ~spec
@@ -232,11 +241,12 @@ def _camera_pass_compact(
 
     def inner_body(s):
         """One specular bounce for the k queued lanes (k-sized ops only)."""
-        bounce, alive, o_k, d_k, atten_k, st_k, rk = s
+        bounce, alive, o_k, d_k, atten_k, st_k, rk, ovf_k = s
         hit = isect_ops.intersect(
             scene, o_k, d_k, jnp.full((k,), eps), jnp.full((k,), BIG),
             rounds=config.intersect_rounds,
         )
+        ovf_k = ovf_k + hit.pair_overflow
         spec = mat_ops.is_specular(scene.materials, hit.mat)
         spec_k = alive & hit.valid & spec
         diff_k = alive & hit.valid & ~spec
@@ -256,14 +266,14 @@ def _camera_pass_compact(
         o_k = wk(spec_k, hit.p, o_k)
         d_k = wk(spec_k, wi2, d_k)
         atten_k = wk(spec_k, atten_k * thr, atten_k)
-        return bounce + 1, spec_k, o_k, d_k, atten_k, st_k, rk
+        return bounce + 1, spec_k, o_k, d_k, atten_k, st_k, rk, ovf_k
 
     def outer_cond(s):
         it, active, *_ = s
         return (it < max_batches) & jnp.any(active)
 
     def outer_body(s):
-        it, active, o, d, atten, rec = s
+        it, active, o, d, atten, rec, ovf = s
         idx_raw = jnp.nonzero(active, size=k, fill_value=n)[0]
         sel = idx_raw < n
         idx = jnp.minimum(idx_raw, n - 1)
@@ -272,8 +282,8 @@ def _camera_pass_compact(
         rk = (zk3, zk3, zk3, zk3, zk3, d[idx],
               jnp.full((k,), -1, jnp.int32), jnp.full((k,), -1, jnp.int32))
         init = (jnp.int32(1), sel, o[idx], d[idx], atten[idx],
-                jnp.full((k,), 1, jnp.int32), rk)
-        _, alive_end, _, _, atten_k, st_k, rk = jax.lax.while_loop(
+                jnp.full((k,), 1, jnp.int32), rk, jnp.int32(0))
+        _, alive_end, _, _, atten_k, st_k, rk, ovf_k = jax.lax.while_loop(
             inner_cond, inner_body, init
         )
         # still alive after the cap → exception flag (raytracing.cu:98-101)
@@ -298,10 +308,13 @@ def _camera_pass_compact(
             footprint=rec.footprint,
         )
         active = active.at[idx_raw].set(False, mode="drop")
-        return it + 1, active, o, d, atten, rec
+        return it + 1, active, o, d, atten, rec, ovf + ovf_k
 
-    init = (jnp.int32(0), active, o, d, atten, rec)
-    _, _, _, _, _, rec = jax.lax.while_loop(outer_cond, outer_body, init)
+    init = (jnp.int32(0), active, o, d, atten, rec, ovf0)
+    _, _, _, _, _, rec, ovf = jax.lax.while_loop(
+        outer_cond, outer_body, init)
+    if return_aux:
+        return rec, dict(pair_overflow=ovf)
     return rec
 
 
@@ -319,7 +332,8 @@ def direct_lighting(
     light_samples: tuple[int, ...],
     include_emitted: bool = True,
     sample_ids: Array | None = None,
-) -> Array:
+    return_aux: bool = False,
+):
     """Direct lighting with shadow rays at the recorded hit points
     (reference: raytracing.cu:49-84 directLight).
 
@@ -351,14 +365,14 @@ def direct_lighting(
 
     eps = config.shadow_epsilon
 
-    def one_sample(L, i, col, inv_ns):
+    def one_sample(L, ovf, i, col, inv_ns):
         """Contribution of one (light, stratified-sample) pair. `i`/`col` may
         be traced (scan) or static (direct call)."""
         u = u2d[:, col] if isinstance(col, int) else jnp.take(
             u2d, col, axis=1
         )
         li, uwi, pdf = light_ops.sample_L_illum(scene.lights, i, rec.p, u)
-        shadowed = isect_ops.occluded(
+        shadowed, ovf_s = isect_ops.occluded_aux(
             scene, rec.p, uwi,
             jnp.full((n,), eps, jnp.float32),
             jnp.full((n,), 1.0 - eps, jnp.float32),
@@ -371,7 +385,7 @@ def direct_lighting(
         contrib = cos[:, None] * fr * li * (inv_ns / jnp.where(
             pdf == 0.0, 1.0, pdf
         ))[:, None]
-        return L + jnp.where(good[:, None], contrib, 0.0)
+        return L + jnp.where(good[:, None], contrib, 0.0), ovf + ovf_s
 
     # flattened (light, sample) work list. A Python loop here would inline
     # one intersector per light sample into the graph (the round-2
@@ -381,20 +395,25 @@ def direct_lighting(
         for i, ns_i in enumerate(light_samples)
         for s in range(ns_i)
     ]
+    ovf = jnp.int32(0)
     if len(pairs) == 0:
         pass
     elif len(pairs) == 1:
         i, col, inv_ns = pairs[0]
-        L = one_sample(L, i, col, jnp.float32(inv_ns))
+        L, ovf = one_sample(L, ovf, i, col, jnp.float32(inv_ns))
     else:
         xs = (
             jnp.asarray([p[0] for p in pairs], jnp.int32),
             jnp.asarray([p[1] for p in pairs], jnp.int32),
             jnp.asarray([p[2] for p in pairs], jnp.float32),
         )
-        L, _ = jax.lax.scan(
-            lambda L, x: (one_sample(L, x[0], x[1], x[2]), None), L, xs
+        (L, ovf), _ = jax.lax.scan(
+            lambda c, x: (one_sample(c[0], c[1], x[0], x[1], x[2]), None),
+            (L, ovf), xs,
         )
-    return jnp.where(hit[:, None], L, 0.0)
+    L = jnp.where(hit[:, None], L, 0.0)
+    if return_aux:
+        return L, dict(pair_overflow=ovf)
+    return L
 
 
