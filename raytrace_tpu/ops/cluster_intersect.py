@@ -53,15 +53,11 @@ class ClusterSet:
     tv: [C, 9, CLUSTER_SIZE] — v0/v1/v2 xyz as 9 rows per cluster (lane dim
         = triangle), padded with degenerate triangles (det=0, never hit).
     cmin/cmax: [C, 3] cluster AABBs (padding clusters get +inf/-inf boxes).
-    feat: [C, 10, 4·CLUSTER_SIZE] bilinear Möller–Trumbore feature matrix
-        for the MXU intersect path (ops/epoch_intersect.build_features);
-        None when only the elementwise engine is in use.
     n_tris: true (unpadded) triangle count.
     """
     tv: Array
     cmin: Array
     cmax: Array
-    feat: Array | None = None
     n_tris: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
@@ -101,16 +97,9 @@ def build_clusters(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
             [cmin, np.full((cpad, 3), np.inf, np.float32)])
         cmax = np.concatenate(
             [cmax, np.full((cpad, 3), -np.inf, np.float32)])
-    tv_dev = jnp.asarray(tv)
-    from raytrace_tpu.ops import epoch_intersect as ei
-
-    # feature matrix computed ON DEVICE (config[4]'s is ~670 MB — staging
-    # it through the axon tunnel would dominate the build)
-    feat = jax.jit(ei.build_features)(tv_dev)
     return ClusterSet(
-        tv=tv_dev, cmin=jnp.asarray(cmin.astype(np.float32)),
-        cmax=jnp.asarray(cmax.astype(np.float32)), feat=feat,
-        n_tris=int(t),
+        tv=jnp.asarray(tv), cmin=jnp.asarray(cmin.astype(np.float32)),
+        cmax=jnp.asarray(cmax.astype(np.float32)), n_tris=int(t),
     )
 
 

@@ -25,22 +25,14 @@ lost, while keeping everything dense and gather-free for the TPU:
      granules (~8× less pair-test waste on incoherent rays, measured
      union(32)/union(256) ≈ 3.3 → compute ÷ 2.4).
 
-The per-subpair intersect kernel runs Möller–Trumbore **on the MXU**: the
-four MT quantities are bilinear in (ray, triangle) features,
-
-    det      = d · (e2×e1)
-    t_num    = (o − v0) · n                       n = e1×e2
-    beta_num = m · e2 − d · (e2×v0)               m = o×d  (Plücker moment)
-    gamma_num= −m · e1 − d · (v0×e1)
-
-so one [32, 10] @ [10, 4·S] f32 matmul per (subtile, cluster) job produces
-det/t/beta/gamma numerators for all S triangles, leaving a ~14-op VPU
-epilogue of sign-folded comparisons (β ≥ 0 ⇔ beta_num·det ≥ 0 etc. — no
-per-pair divisions except the winning t). Jobs stream cluster-major so each
-cluster's feature slab loads once per round (Pallas revisit caching), and
-every job writes its own output row — no cross-job accumulation in VMEM, so
-job order is free. Per-subtile winners are then min-combined by a segment
-reduction at the jnp level.
+The per-subpair intersect kernel is elementwise Möller–Trumbore on the
+VPU at [JPS·32 rays × S tris] per grid step (see the JPS note for why an
+MXU bilinear-feature formulation measured 4× SLOWER). Jobs stream
+cluster-major — the transposed-mask compaction produces that order for
+free — so each cluster's vertex slab loads once per run (Pallas revisit
+caching), and every job writes its own output row: no cross-job
+accumulation in VMEM, so job order is free. Per-subtile winners are then
+min-combined by a segment reduction at the jnp level.
 
 Budgets: the (tile, cluster) pair list and the subpair list live in HBM
 (not SMEM — only the per-round 2^17-job slice is scalar-prefetched), sized
@@ -68,50 +60,12 @@ ROUND = 1 << 17     # jobs per scan round (one SMEM scalar-prefetch array)
 TILE_GROUP = 8      # cull tiles per kernel step (sublane-divisible output)
 
 
-def build_features(tv: Array) -> Array:
-    """Per-cluster bilinear MT feature matrix [C, 10, 4, S] from the
-    [C, 9, S] vertex slab. Column order (axis 2): det, t_num, beta_num,
-    gamma_num; row order (axis 1) matches the ray feature vector
-    [o(3), d(3), m=o×d(3), 1]. Runs on device (config[4]'s matrix is
-    ~670 MB — never staged through the host)."""
-    v0 = tv[:, 0:3, :]
-    v1 = tv[:, 3:6, :]
-    v2 = tv[:, 6:9, :]
-    e1 = v1 - v0
-    e2 = v2 - v0
-
-    def cr(a, b):  # cross product on axis 1
-        ax, ay, az = a[:, 0], a[:, 1], a[:, 2]
-        bx, by, bz = b[:, 0], b[:, 1], b[:, 2]
-        return jnp.stack(
-            [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=1
-        )
-
-    n = cr(e1, e2)
-    z = jnp.zeros_like(v0)
-    z1 = jnp.zeros_like(v0[:, :1])
-    # det = d·(e2×e1) = −d·n
-    c_det = jnp.concatenate([z, -n, z, z1], axis=1)
-    # t_num = o·n − v0·n
-    c_t = jnp.concatenate(
-        [n, z, z, -jnp.sum(v0 * n, axis=1, keepdims=True)], axis=1
-    )
-    # beta_num = m·e2 − d·(e2×v0)
-    c_b = jnp.concatenate([z, -cr(e2, v0), e2, z1], axis=1)
-    # gamma_num = −m·e1 − d·(v0×e1)
-    c_g = jnp.concatenate([z, -cr(v0, e1), -e1, z1], axis=1)
-    f = jnp.stack([c_det, c_t, c_b, c_g], axis=2)  # [C, 10, 4, S]
-    return f.reshape(f.shape[0], 10, 4 * f.shape[3])  # [C, 10, 4S]
-
-
 # ---------------------------------------------------------------------------
 # Stage A: dense cull → packed subtile bitmask
 # ---------------------------------------------------------------------------
 
-def _cull_kernel(o_ref, d_ref, tmin_ref, tbest_ref, w_ref, cmin_ref,
-                 cmax_ref, out_ref):
-    w0 = w_ref[0, 0]
-    w1 = w_ref[0, 1]
+def _cull_kernel(o_ref, d_ref, tmin_ref, tbest_ref, w0_ref, w1_ref,
+                 cmin_ref, cmax_ref, out_ref):
     r = lambda a: a[:, None]
     c = lambda a: a[None, :]
     for g in range(TILE_GROUP):
@@ -121,6 +75,8 @@ def _cull_kernel(o_ref, d_ref, tmin_ref, tbest_ref, w_ref, cmin_ref,
         ix, iy, iz = inv(d_ref[0, s]), inv(d_ref[1, s]), inv(d_ref[2, s])
         tmin = tmin_ref[0, s]
         tbest = tbest_ref[0, s]
+        w0 = w0_ref[0, s]
+        w1 = w1_ref[0, s]
 
         def axis_slab(bmin, bmax, o, invd):
             t0 = (c(bmin) - r(o)) * r(invd)
@@ -138,8 +94,8 @@ def _cull_kernel(o_ref, d_ref, tmin_ref, tbest_ref, w_ref, cmin_ref,
         hit = (
             (tn <= tf)
             & (tf > r(tmin))
-            & (tnc >= w0)
-            & (tnc < w1)
+            & (tnc >= r(w0))
+            & (tnc < r(w1))
             & (tnc < r(tbest))  # resolved / capped rays cull nothing
         )
         hitf = hit.astype(jnp.float32)
@@ -153,7 +109,8 @@ def _cull_kernel(o_ref, d_ref, tmin_ref, tbest_ref, w_ref, cmin_ref,
 CULL_CHUNK = 2048
 
 
-def _cull_bits(clusters, oT, dT, tminP, tbestP, w01, n_tiles, interpret):
+def _cull_bits(clusters, oT, dT, tminP, tbestP, w0P, w1P, n_tiles,
+               interpret):
     cp = clusters.cmin.shape[0]
     chunk = min(CULL_CHUNK, cp)
     cpad = -cp % chunk
@@ -167,8 +124,6 @@ def _cull_bits(clusters, oT, dT, tminP, tbestP, w01, n_tiles, interpret):
                         memory_space=pltpu.VMEM)
     ray1 = pl.BlockSpec((1, gr), lambda i, j: (0, i),
                         memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((1, 2), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM)
     cl3 = pl.BlockSpec((3, chunk), lambda i, j: (0, j),
                        memory_space=pltpu.VMEM)
     out = pl.BlockSpec((TILE_GROUP, chunk), lambda i, j: (i, j),
@@ -176,11 +131,11 @@ def _cull_bits(clusters, oT, dT, tminP, tbestP, w01, n_tiles, interpret):
     bits = pl.pallas_call(
         _cull_kernel,
         grid=(n_tiles // TILE_GROUP, cpp // chunk),
-        in_specs=[ray3, ray3, ray1, ray1, wspec, cl3, cl3],
+        in_specs=[ray3, ray3, ray1, ray1, ray1, ray1, cl3, cl3],
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((n_tiles, cpp), jnp.int32),
         interpret=interpret,
-    )(oT, dT, tminP, tbestP, w01, cminT, cmaxT)
+    )(oT, dT, tminP, tbestP, w0P, w1P, cminT, cmaxT)
     return bits[:, :cp]
 
 
@@ -188,70 +143,108 @@ def _cull_bits(clusters, oT, dT, tminP, tbestP, w01, n_tiles, interpret):
 # Stage C: per-subpair MXU Möller–Trumbore
 # ---------------------------------------------------------------------------
 
-def _mt_kernel(pid_ref, np_ref, rf_ref, feat_ref, t_ref, i_ref, *,
-               cluster_size: int, n_subtiles: int):
-    p = pl.program_id(0)
+JPS = 4  # jobs per grid step: amortizes per-step fixed cost 4×. The job
+         # list is cluster-run-aligned to JPS so a step's jobs share one
+         # cluster (one tv block per step).
+# NOTE — an MXU formulation was tried and REVERTED: the four MT quantities
+# are bilinear in (ray, triangle) features ([128, 10] @ [10, 4S] per step),
+# but a K=10 matmul is MXU-pipeline-overhead-bound (≈10 useful cycles per
+# 128×128 output tile) and f32 needs 6 bf16 passes; measured ~0.9 µs/job
+# vs ~0.2 µs/job for the elementwise VPU form below (which hits
+# ~1.3 TFLOP/s, the same rate as the round-3 kernel).
 
-    @pl.when(p < np_ref[0])
+
+def _mt_kernel(pid_ref, np_ref, r0, r1, r2, r3, tv_ref, t_ref,
+               i_ref, *, cluster_size: int, n_subtiles: int):
+    p = pl.program_id(0)  # STEP index (JPS jobs per step)
+
+    @pl.when(p * JPS < np_ref[0])
     def _():
-        A = rf_ref[0:SUB, 0:10]  # [32, 10] rays
-        F = feat_ref[0]          # [10, 4S]
-        out = jnp.dot(A, F, preferred_element_type=jnp.float32)
-        out = out.reshape(SUB, 4, cluster_size)
-        D = out[:, 0, :]
-        T = out[:, 1, :]
-        Bn = out[:, 2, :]
-        Gn = out[:, 3, :]
-        tmin = rf_ref[0:SUB, 10:11]  # [32, 1]
-        tb = rf_ref[0:SUB, 11:12]
-        # sign-folded MT conditions: x/det ⋛ c ⇔ (x − c·det)·det ⋛ 0
+        # [8, JPS·SUB]: rows ox,oy,oz,dx,dy,dz,tmin,tbest; rays on lanes
+        rays = jnp.concatenate(
+            [r0[0], r1[0], r2[0], r3[0]], axis=1)
+        ox, oy, oz = rays[0, :], rays[1, :], rays[2, :]
+        dx, dy, dz = rays[3, :], rays[4, :], rays[5, :]
+        tmin = rays[6, :]
+        tmax = rays[7, :]
+
+        v0x, v0y, v0z = tv_ref[0, 0, :], tv_ref[0, 1, :], tv_ref[0, 2, :]
+        v1x, v1y, v1z = tv_ref[0, 3, :], tv_ref[0, 4, :], tv_ref[0, 5, :]
+        v2x, v2y, v2z = tv_ref[0, 6, :], tv_ref[0, 7, :], tv_ref[0, 8, :]
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+
+        r = lambda a: a[:, None]
+        c = lambda a: a[None, :]
+        # pvec = d × e2
+        px = r(dy) * c(e2z) - r(dz) * c(e2y)
+        py = r(dz) * c(e2x) - r(dx) * c(e2z)
+        pz = r(dx) * c(e2y) - r(dy) * c(e2x)
+        det = c(e1x) * px + c(e1y) * py + c(e1z) * pz
+        inv_det = jnp.where(det != 0.0,
+                            1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+        tvx, tvy, tvz = r(ox) - c(v0x), r(oy) - c(v0y), r(oz) - c(v0z)
+        beta = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * c(e1z) - tvz * c(e1y)
+        qy = tvz * c(e1x) - tvx * c(e1z)
+        qz = tvx * c(e1y) - tvy * c(e1x)
+        gamma = (r(dx) * qx + r(dy) * qy + r(dz) * qz) * inv_det
+        t = (c(e2x) * qx + c(e2y) * qy + c(e2z) * qz) * inv_det
         ok = (
-            (D != 0.0)
-            & (Bn * D >= 0.0)
-            & (Gn * D >= 0.0)
-            & ((Bn + Gn - D) * D <= 0.0)
-            & ((T - tmin * D) * D > 0.0)
-            & ((T - tb * D) * D < 0.0)
+            (det != 0.0)
+            & (beta >= 0.0)
+            & (gamma >= 0.0)
+            & (beta + gamma <= 1.0)
+            & (t > r(tmin))
+            & (t < r(tmax))
         )
-        t = jnp.where(ok, T / jnp.where(D == 0.0, 1.0, D), BIG)
+        t = jnp.where(ok, t, BIG)
         tbest = jnp.min(t, axis=1)
         lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         jbest = jnp.min(
             jnp.where(t <= tbest[:, None], lane, cluster_size), axis=1
         )
-        cl = pid_ref[p] // n_subtiles
-        t_ref[0, :] = tbest
-        i_ref[0, :] = cl * cluster_size + jnp.minimum(jbest,
-                                                      cluster_size - 1)
+        cl = pid_ref[p * JPS] // n_subtiles  # shared by the step (aligned)
+        ibest = cl * cluster_size + jnp.minimum(jbest, cluster_size - 1)
+        for k in range(JPS):
+            t_ref[0, k, :] = tbest[k * SUB:(k + 1) * SUB]
+            i_ref[0, k, :] = ibest[k * SUB:(k + 1) * SUB]
 
-    @pl.when(p >= np_ref[0])
+    @pl.when(p * JPS >= np_ref[0])
     def _():
-        t_ref[0, :] = jnp.full_like(t_ref[0, :], BIG)
-        i_ref[0, :] = jnp.zeros_like(i_ref[0, :])
+        t_ref[0, :, :] = jnp.full_like(t_ref[0, :, :], BIG)
+        i_ref[0, :, :] = jnp.zeros_like(i_ref[0, :, :])
 
 
-def _mt_rounds(pid_sorted, n_sp, rfeat, feat, n_subtiles, rounds,
+def _mt_rounds(pid_sorted, n_sp, rayT, tv, n_subtiles, rounds,
                round_size, interpret):
-    """lax.scan over ROUND-sized job slices → (t_rows, i_rows) [SPB, 32].
-    pid_sorted is cluster-major so each cluster's feature slab is fetched
-    once per run of jobs (Pallas skips re-copies on unchanged block ids)."""
-    cp = feat.shape[0]
-    cluster_size = feat.shape[2] // 4
-    rfspec = pl.BlockSpec((SUB, 16),
-                          lambda p, pid_, npr: (pid_[p] % n_subtiles, 0),
-                          memory_space=pltpu.VMEM)
-    fspec = pl.BlockSpec((1, 10, 4 * cluster_size),
-                         lambda p, pid_, npr: (pid_[p] // n_subtiles,
+    """lax.scan over ROUND-sized job slices → per-subtile (t, idx)
+    [n_subtiles, SUB]. pid_sorted is cluster-major so each cluster's
+    vertex slab is fetched once per run of jobs (Pallas skips re-copies on
+    unchanged block ids)."""
+    cp = tv.shape[0]
+    cluster_size = tv.shape[2]
+    rfspecs = [
+        pl.BlockSpec((1, 8, SUB),
+                     (lambda k: lambda p, pid_, npr:
+                      (pid_[p * JPS + k] % n_subtiles, 0, 0))(k),
+                     memory_space=pltpu.VMEM)
+        for k in range(JPS)
+    ]
+    fspec = pl.BlockSpec((1, 9, cluster_size),
+                         lambda p, pid_, npr: (pid_[p * JPS] // n_subtiles,
                                                0, 0),
                          memory_space=pltpu.VMEM)
-    outt = pl.BlockSpec((1, SUB), lambda p, pid_, npr: (p, 0),
+    # rank-3 (steps, JPS, 32) outputs: Pallas wants the last-two block dims
+    # ∈ {multiple of (8, 128), equal to array dims}
+    outt = pl.BlockSpec((1, JPS, SUB), lambda p, pid_, npr: (p, 0, 0),
                         memory_space=pltpu.VMEM)
-    outi = pl.BlockSpec((1, SUB), lambda p, pid_, npr: (p, 0),
+    outi = pl.BlockSpec((1, JPS, SUB), lambda p, pid_, npr: (p, 0, 0),
                         memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(round_size,),
-        in_specs=[rfspec, fspec],
+        grid=(round_size // JPS,),
+        in_specs=rfspecs + [fspec],
         out_specs=(outt, outi),
     )
     kern = functools.partial(_mt_kernel, cluster_size=cluster_size,
@@ -263,35 +256,41 @@ def _mt_rounds(pid_sorted, n_sp, rfeat, feat, n_subtiles, rounds,
     def body(carry, xs):
         pid_r, nv = xs
 
-        def run():
-            return pl.pallas_call(
+        def run(carry):
+            t_r, i_r = pl.pallas_call(
                 kern,
                 grid_spec=grid_spec,
                 out_shape=(
-                    jax.ShapeDtypeStruct((round_size, SUB), jnp.float32),
-                    jax.ShapeDtypeStruct((round_size, SUB), jnp.int32),
+                    jax.ShapeDtypeStruct((round_size // JPS, JPS, SUB),
+                                         jnp.float32),
+                    jax.ShapeDtypeStruct((round_size // JPS, JPS, SUB),
+                                         jnp.int32),
                 ),
                 interpret=interpret,
-            )(pid_r, nv.reshape(1).astype(jnp.int32), rfeat, feat)
+            )(pid_r, nv.reshape(1).astype(jnp.int32), rayT, rayT, rayT,
+              rayT, tv)
+            # segment-combine this round into the carry immediately: keeps
+            # the transient at [ROUND, 32] instead of [SPB, 32] (2 GB at
+            # config[4])
+            seg = pid_r % n_subtiles
+            t_r = t_r.reshape(-1, SUB)
+            i_r = i_r.reshape(-1, SUB)
+            t_carry, i_carry = carry
+            t_min = jax.ops.segment_min(t_r, seg, num_segments=n_subtiles)
+            upd = t_min < t_carry
+            # winner triangle: rows matching the per-segment min
+            win = t_r <= t_min[seg]
+            i_cand = jnp.where(win & (t_r < BIG), i_r,
+                               jnp.int32(2**31 - 1))
+            i_min = jax.ops.segment_min(i_cand, seg,
+                                        num_segments=n_subtiles)
+            return (jnp.where(upd, t_min, t_carry),
+                    jnp.where(upd, i_min, i_carry))
 
-        t_r, i_r = jax.lax.cond(
-            nv > 0, run,
-            lambda: (jnp.full((round_size, SUB), BIG, jnp.float32),
-                     jnp.zeros((round_size, SUB), jnp.int32)),
-        )
-        # segment-combine this round into the carry immediately: keeps the
-        # transient at [ROUND, 32] instead of [SPB, 32] (2 GB at config[4])
-        seg = pid_r % n_subtiles
-        t_carry, i_carry = carry
-        t_min = jax.ops.segment_min(t_r, seg, num_segments=n_subtiles)
-        upd = t_min < t_carry
-        # winner triangle: rows matching the per-segment min
-        win = t_r <= t_min[seg]
-        i_cand = jnp.where(win & (t_r < BIG), i_r, jnp.int32(2**31 - 1))
-        i_min = jax.ops.segment_min(i_cand, seg, num_segments=n_subtiles)
-        t_carry = jnp.where(upd, t_min, t_carry)
-        i_carry = jnp.where(upd, i_min, i_carry)
-        return (t_carry, i_carry), None
+        # empty rounds (the static budget's slack) skip EVERYTHING — the
+        # kernel AND the segment combine (500 skipped combines once cost
+        # 15 s/frame)
+        return jax.lax.cond(nv > 0, run, lambda c: c, carry), None
 
     init = (jnp.full((n_subtiles, SUB), BIG, jnp.float32),
             jnp.zeros((n_subtiles, SUB), jnp.int32))
@@ -303,15 +302,22 @@ def _mt_rounds(pid_sorted, n_sp, rfeat, feat, n_subtiles, rounds,
 # Orchestration
 # ---------------------------------------------------------------------------
 
-def _budgets(n_tiles: int, cp: int, scale: float, round_size: int):
-    """Per-epoch pair/subpair budgets from launch geometry. Anchored on the
-    config[4] measurement (tools/exp_epochs.py: worst epoch ≈ 103 pairs &
-    ≈ 45×8 subpair-bits per 256-ray tile at full 4M-ray density) with ~2×
-    headroom; overflow is counted, returned, and warned on."""
+def _budgets(n_rays: int, n_tiles: int, cp: int, scale: float,
+             round_size: int):
+    """Per-epoch pair/subpair budgets from launch geometry.
+
+    Physical law: Σ_subtiles union(32) ≤ Σ_rays crossings(ray), and with
+    epoch windows the effective per-ray crossing count is small (measured
+    ≈ 2.4 at the config[4] bounce population, tools/exp_epochs.py; sparse
+    launches see more per subtile but have fewer rays). Budget ≈ 4
+    crossings/ray, clamped to [1 round, 2^23]; PB ≈ 2 pairs/ray. Overflow
+    is counted, returned, and warned on; budget_scale buys more."""
     p2 = lambda v: 1 << max(0, (int(v) - 1).bit_length())
-    pb = p2(min(n_tiles * cp, max(1 << 14, int(n_tiles * 192 * scale))))
+    clamp = lambda v, lo, hi: max(lo, min(int(v), hi))
+    pb = p2(min(n_tiles * cp,
+                clamp(n_rays * 4 * scale, 1 << 14, 1 << 22)))
     spb = p2(min(n_tiles * cp * NSUB,
-                 max(round_size, int(n_tiles * 512 * scale))))
+                 clamp(n_rays * 8 * scale, round_size, 1 << 24)))
     return pb, max(spb, round_size)
 
 
@@ -344,7 +350,7 @@ def intersect_epochs(
     clusters: ClusterSet,
     o: Array, d: Array, tmin: Array, tmax: Array,
     interpret: bool = False,
-    n_epochs: int = 4,
+    n_epochs: int = 3,
     budget_scale: float = 1.0,
     round_size: int = ROUND,
 ):
@@ -356,10 +362,8 @@ def intersect_epochs(
     sg = jax.lax.stop_gradient
     o = sg(o); d = sg(d); tmin = sg(tmin); tmax = sg(tmax)
     n = o.shape[0]
-    assert clusters.feat is not None, "ClusterSet built without features"
-    feat = clusters.feat
-    cp = feat.shape[0]
-    S = feat.shape[2] // 4
+    tv = clusters.tv
+    cp = tv.shape[0]
 
     # ---- sort rays for tile coherence (pure permutation) ------------------
     key = _sort_key(clusters, o, d, tmax, tmin)
@@ -381,7 +385,10 @@ def intersect_epochs(
     oT, dT = o_p.T, d_p.T
     tminP = tmin_p[None, :]
 
-    # ---- epoch windows: L0 = 2 × mean cluster extent, ×4 growth -----------
+    # ---- epoch windows: L0 = 2 × mean cluster extent, ×4 growth,
+    # anchored at each ray's SCENE-ENTRY distance (a distant viewpoint
+    # would otherwise put all geometry in the last window and disable the
+    # early-out entirely) -----------------------------------------------
     real = jnp.isfinite(clusters.cmin[:, 0])
     extm = jnp.where(real[:, None], clusters.cmax - clusters.cmin, 0.0)
     mean_ext = jnp.sum(jnp.max(extm, axis=1)) / jnp.maximum(
@@ -390,55 +397,107 @@ def intersect_epochs(
     uppers = jnp.array(
         [4.0 ** e for e in range(n_epochs - 1)] + [np.inf], jnp.float32)
     bounds = jnp.concatenate(
-        [jnp.asarray([-BIG], jnp.float32), uppers * L0])
-    bounds = bounds.at[-1].set(BIG)
+        [jnp.asarray([0.0], jnp.float32), uppers * L0])
+    # per-ray entry distance into the scene AABB (clamped to tmin)
+    smin = jnp.min(jnp.where(real[:, None], clusters.cmin, BIG), axis=0)
+    smax = jnp.max(jnp.where(real[:, None], clusters.cmax, -BIG), axis=0)
+    inv_d = 1.0 / jnp.where(d_p == 0.0, 1e-30, d_p)
+    t0 = (smin[None, :] - o_p) * inv_d
+    t1 = (smax[None, :] - o_p) * inv_d
+    t_enter = jnp.max(jnp.minimum(t0, t1), axis=1)
+    t_enter = jnp.maximum(t_enter, tmin_p)
 
-    PB, SPB = _budgets(n_tiles, cp, budget_scale, round_size)
-    rounds = SPB // round_size
-
-    # ray MT features [np_, 16]: o, d, m=o×d, 1, tmin, tbest, pad
-    m = jnp.cross(o_p, d_p)
-    ones = jnp.ones((np_, 1), jnp.float32)
+    PB, SPB = _budgets(n, n_tiles, cp, budget_scale, round_size)
+    # aligned job-list capacity: alignment adds < JPS per cluster run
+    SPB_AL = SPB + -(-(JPS * cp) // round_size) * round_size
+    rounds = SPB_AL // round_size
 
     def epoch_body(carry, xs):
         t_best, i_best = carry
-        w0, w1 = xs
-        w01 = jnp.stack([w0, w1]).reshape(1, 2)
+        w0, w1, first, last = xs
+        # epoch 0 opens at -BIG (rays starting inside geometry); the last
+        # closes at +BIG
+        w0P = jnp.where(first, -BIG, t_enter + w0)[None, :]
+        w1P = jnp.where(last, BIG, t_enter + w1)[None, :]
         tb = jnp.minimum(t_best, tmax_p)
-        bits = _cull_bits(clusters, oT, dT, tminP, tb[None, :], w01,
+        bits = _cull_bits(clusters, oT, dT, tminP, tb[None, :], w0P, w1P,
                           n_tiles, interpret)
 
-        flat = bits.reshape(-1)
-        nzmask = flat != 0
+        # compact by SORT, not jnp.nonzero: set entries keep their
+        # (cluster, tile) flat index over the TRANSPOSED mask, the rest
+        # become INT_MAX, and one ascending sort is both the compaction
+        # AND the cluster-major job ordering. (nonzero lowers to
+        # cumsum + scatter-add bincount — measured 2–3× a plain sort at
+        # these sizes on TPU.)
+        MAXI = jnp.int32(2**31 - 1)
+        flatT = bits.T.reshape(-1)
+        nzmask = flatT != 0
         n_pairs = jnp.sum(nzmask.astype(jnp.int32))
-        (pair_idx,) = jnp.nonzero(nzmask, size=PB,
-                                  fill_value=n_tiles * cp)
+        vals = jnp.where(
+            nzmask, jnp.arange(n_tiles * cp, dtype=jnp.int32), MAXI)
+        pair_idx = jax.lax.sort(vals)[:PB]
         pair_safe = jnp.minimum(pair_idx, n_tiles * cp - 1)
         pvalid = jnp.arange(PB) < jnp.minimum(n_pairs, PB)
-        pbits = jnp.where(pvalid, flat[pair_safe], 0)
+        pbits = jnp.where(pvalid, flatT[pair_safe], 0)
 
+        clus = (pair_safe // n_tiles).astype(jnp.int32)
+        tile = (pair_safe % n_tiles).astype(jnp.int32)
+        base = clus * n_subtiles + tile * NSUB  # [PB]
         submask = ((pbits[:, None] >> jnp.arange(NSUB)[None, :]) & 1) > 0
         n_sp_all = jnp.sum(submask.astype(jnp.int32))
-        (sp_idx,) = jnp.nonzero(submask.reshape(-1), size=SPB,
-                                fill_value=PB * NSUB)
+        vals2 = jnp.where(
+            submask, base[:, None] + jnp.arange(NSUB, dtype=jnp.int32),
+            MAXI)
         n_sp = jnp.minimum(n_sp_all, SPB)
-        spvalid = jnp.arange(SPB) < n_sp
-        prow = jnp.minimum(sp_idx // NSUB, PB - 1)
-        sub = (sp_idx % NSUB).astype(jnp.int32)
-        tile = (pair_safe[prow] // cp).astype(jnp.int32)
-        clus = (pair_safe[prow] % cp).astype(jnp.int32)
-        stile = tile * NSUB + sub
-        packed = clus * n_subtiles + stile
-        # fills → the LAST legal job id: sorts to the back, maps to valid
-        # blocks, and the kernel skips them via p < n_valid
-        packed = jnp.where(spvalid, packed, cp * n_subtiles - 1)
-        pid_sorted = jnp.sort(packed.astype(jnp.int32))
+        fill_pid = cp * n_subtiles - 1
+        packed = jnp.minimum(jax.lax.sort(vals2.reshape(-1))[:SPB],
+                             fill_pid)
 
-        rfeat = jnp.concatenate(
-            [o_p, d_p, m, ones, tmin_p[:, None], tb[:, None],
-             jnp.zeros((np_, 2), jnp.float32)], axis=1)
+        # ---- align each cluster's run to a JPS multiple -----------------
+        # so every kernel step's JPS jobs share ONE cluster (one feat
+        # block per step). Pad slots become jobs (cluster, LAST subtile):
+        # real jobs against already-covered rays — duplicate hits are
+        # idempotent under min-combine, so fills need no masking at all.
+        cl_sp = packed // n_subtiles
+        cl_ids = jnp.arange(cp, dtype=jnp.int32)
+        # clamp run bounds to the VALID prefix: the SPB − n_sp fill entries
+        # all carry cluster cp−1 and would otherwise count into its run —
+        # total_al then ≈ SPB and every round of every epoch runs on fills
+        # (measured as the entire 16 s → 4 s difference at the 1M proxy)
+        starts = jnp.minimum(
+            jnp.searchsorted(cl_sp, cl_ids, side="left"), n_sp)
+        ends = jnp.minimum(
+            jnp.searchsorted(cl_sp, cl_ids, side="right"), n_sp)
+        lens = (ends - starts).astype(jnp.int32)
+        al = ((lens + JPS - 1) // JPS) * JPS
+        new_starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(al).astype(jnp.int32)])
+        total_al = new_starts[-1]
+        j = jnp.arange(SPB_AL, dtype=jnp.int32)
+        # run id per output slot via scatter-ones + cumsum (a searchsorted
+        # of 8.5M values measured 1.26 s on TPU; this is ~60 ms)
+        marks = jnp.zeros((SPB_AL,), jnp.int32).at[new_starts[1:-1]].add(
+            1, mode="drop")
+        c_of_j = jnp.clip(jnp.cumsum(marks), 0, cp - 1).astype(jnp.int32)
+        k_off = j - new_starts[c_of_j]
+        in_run = (k_off < lens[c_of_j]) & (j < total_al)
+        src = jnp.clip(starts[c_of_j] + k_off, 0, SPB - 1)
+        pid_al = jnp.where(
+            in_run, packed[src],
+            jnp.where(j < total_al,
+                      c_of_j * n_subtiles + (n_subtiles - 1), fill_pid)
+        ).astype(jnp.int32)
+        n_sp_al = total_al
 
-        t_sub, i_sub = _mt_rounds(pid_sorted, n_sp, rfeat, feat,
+        # per-subtile ray blocks [NST, 8, SUB]: rows o/d/tmin/tbest,
+        # rays on lanes — the layout the elementwise kernel broadcasts from
+        rayT = jnp.stack(
+            [o_p[:, 0], o_p[:, 1], o_p[:, 2],
+             d_p[:, 0], d_p[:, 1], d_p[:, 2],
+             tmin_p, tb], axis=0
+        ).reshape(8, n_subtiles, SUB).transpose(1, 0, 2)
+
+        t_sub, i_sub = _mt_rounds(pid_al, n_sp_al, rayT, tv,
                                   n_subtiles, rounds, round_size,
                                   interpret)
         t_e = t_sub.reshape(np_)
@@ -450,11 +509,23 @@ def intersect_epochs(
                + jnp.maximum(n_sp_all - SPB, 0))
         return (t_best, i_best), (n_sp_all, ovf)
 
-    init = (jnp.full((np_,), BIG, jnp.float32),
-            jnp.zeros((np_,), jnp.int32))
-    (t_best, i_best), (sp_counts, ovfs) = jax.lax.scan(
-        epoch_body, init, (bounds[:-1], bounds[1:]))
+    # PYTHON loop over epochs, not lax.scan: nesting the rounds-scan
+    # (with its pallas_call) inside an outer scan measured ~11× higher
+    # per-round cost on the axon TPU backend (78 → 880 ms/round at 4
+    # epochs); unrolled, each epoch compiles like the flat 1-epoch graph.
+    # n_epochs is small and static, so graph growth is bounded.
+    carry = (jnp.full((np_,), BIG, jnp.float32),
+             jnp.zeros((np_,), jnp.int32))
+    sp_total = jnp.int32(0)
+    ovf_total = jnp.int32(0)
+    for e in range(n_epochs):
+        carry, (n_sp_e, ovf_e) = epoch_body(
+            carry, (bounds[e], bounds[e + 1],
+                    jnp.asarray(e == 0), jnp.asarray(e == n_epochs - 1)))
+        sp_total = sp_total + n_sp_e
+        ovf_total = ovf_total + ovf_e
+    t_best, i_best = carry
 
     t = t_best[:n][unsort]
     idx = jnp.clip(i_best[:n][unsort], 0, max(clusters.n_tris - 1, 0))
-    return t, idx, jnp.sum(sp_counts), jnp.sum(ovfs)
+    return t, idx, sp_total, ovf_total

@@ -352,7 +352,7 @@ def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
     if scene.clusters is not None and _pallas_enabled():
         from raytrace_tpu.ops.bvh import reintersect_winner
 
-        if _engine() == "epoch" and scene.clusters.feat is not None:
+        if _engine() == "epoch":
             from raytrace_tpu.ops import epoch_intersect as ei
 
             t, idx, _, overflow = ei.intersect_epochs(
@@ -423,7 +423,7 @@ def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
     """Any-hit within (tmin, tmax) → (occluded [N] bool, pair_overflow)."""
     zero = jnp.int32(0)
     if scene.clusters is not None and _pallas_enabled():
-        if _engine() == "epoch" and scene.clusters.feat is not None:
+        if _engine() == "epoch":
             from raytrace_tpu.ops import epoch_intersect as ei
 
             t, _, _, overflow = ei.intersect_epochs(

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":  # imported helpers must not hijack the backend
+    jax.config.update("jax_platforms", "cpu")
 
 from raytrace_tpu.ops import photon_grid as pg
 from raytrace_tpu.scene import presets
