@@ -108,6 +108,9 @@ class RenderConfig:
 
     # -- differentiation -----------------------------------------------------
     differentiable: bool = False      # True: bounded fori_loop walks (reverse-
+    remat_walks: bool = False        # checkpoint each differentiable walk
+                                      # iteration (recompute in bwd instead
+                                      # of storing intersection residuals)
                                       # mode AD works, every ray pays the full
                                       # bounce cap); False: early-exit
                                       # while_loop (forward-only, faster)

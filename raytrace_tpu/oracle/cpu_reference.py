@@ -30,6 +30,10 @@ class OTriangle:
     v2: np.ndarray
     mat: int
     light: int = -1
+    # default UVs match the renderer (cudatrianglemesh.cu:27-33)
+    uv0: np.ndarray = field(default_factory=lambda: np.array([0.0, 0.0]))
+    uv1: np.ndarray = field(default_factory=lambda: np.array([1.0, 0.0]))
+    uv2: np.ndarray = field(default_factory=lambda: np.array([0.0, 1.0]))
 
 
 @dataclass
@@ -77,6 +81,21 @@ class OMaterial:
     mtype: int  # 0 matte, 1 mirror, 2 glass
     kd: np.ndarray = field(default_factory=lambda: np.array([0.5, 0.5, 0.5]))
     eta: float = 1.5
+    tex_type: int = 0  # 0 constant, 1 checker (shading/material.py seam)
+    tex_scale: float = 1.0
+
+
+TEX_CHECKER_LO = 0.25
+
+
+def mat_kd(mat: OMaterial, uv) -> np.ndarray:
+    """Texture-modulated albedo (mirrors shading/material.texture_eval)."""
+    if mat.tex_type == 1 and uv is not None:
+        cell = math.floor(uv[0] * mat.tex_scale) + math.floor(
+            uv[1] * mat.tex_scale)
+        if cell % 2 != 0:
+            return mat.kd * TEX_CHECKER_LO
+    return mat.kd
 
 
 @dataclass
@@ -146,8 +165,10 @@ def _hit_tri(tri: OTriangle, o, d, tmin, tmax):
     if beta < 0 or gamma < 0 or beta + gamma > 1:
         return None
     ng = _norm(n)
+    uv = ((1.0 - beta - gamma) * tri.uv0 + beta * tri.uv1
+          + gamma * tri.uv2)
     return dict(t=t, p=p, ng=ng, ns=ng, mat=tri.mat, light=tri.light,
-                dpdu=_any_tangent(ng))
+                dpdu=_any_tangent(ng), uv=uv)
 
 
 def _hit_sphere(sph: OSphere, o, d, tmin, tmax):
@@ -271,7 +292,8 @@ def direct_light_at(scene: OScene, hit, wo, shadow_eps=1e-3,
             if occluded_one(scene, hit["p"], uwi, shadow_eps, 1.0 - shadow_eps):
                 continue
             wi = _norm(uwi)
-            f = mat.kd / math.pi if mat.mtype == 0 else np.zeros(3)
+            kd = mat_kd(mat, hit.get("uv"))
+            f = kd / math.pi if mat.mtype == 0 else np.zeros(3)
             L += abs(np.dot(hit["ns"], wi)) * f * li / (pdf * ns_count)
     return L
 
@@ -460,7 +482,7 @@ def trace_photons_oracle(scene: OScene, n_paths: int, max_depth: int = 4,
             u1, u2 = rng.random(2)
             wi = cosine_sample_hemisphere_frame(u1, u2, hit["ns"], hit["dpdu"])
             # f·|wi·n|/pdf = (kd/π)·cosθ/(cosθ/π) = kd for Lambert
-            anew = alpha * mat.kd
+            anew = alpha * mat_kd(mat, hit.get("uv"))
             if russian_roulette:
                 # P = min(1, y(α')/y(α)), survivors reweighted by 1/P
                 # (renderers/photon._photon_step; photontracing.cu:173-178)
@@ -527,7 +549,8 @@ def render_photon_oracle(scene: OScene, cam_to_world, fov_deg, width, height,
                             scene, hit, _norm(-d), shadow_eps,
                             area_samples=area_samples, include_emitted=True)
                     gathered, _ = gather_photons_oracle(
-                        pp, pal, pwi, hit["p"], radius2, hit["ns"], mat.kd)
+                        pp, pal, pwi, hit["p"], radius2,
+                        hit["ns"], mat_kd(mat, hit.get("uv")))
                     L = atten * (direct + gathered * inv_norm)
                     break
                 thr, wi = specular_bounce(mat, hit, _norm(-d))

@@ -26,13 +26,23 @@ from raytrace_tpu.shading import material as mat_ops
 BIG = isect_ops.BIG
 
 
-def bounded_loop(cond, body, init, n_iters: int, differentiable: bool):
+def bounded_loop(cond, body, init, n_iters: int, differentiable: bool,
+                 remat: bool = False):
     """while_loop for forward-only speed (early exit when every lane is done)
     or a fixed-trip fori_loop when reverse-mode AD must flow through the walk
     (lax.while_loop has no transpose rule; bodies are fully masked so the
-    extra iterations are no-ops)."""
+    extra iterations are no-ops).
+
+    remat: rematerialize each iteration in the backward pass
+    (jax.checkpoint) — the walk then stores only per-iteration CARRIES
+    instead of every intersection intermediate, trading recompute FLOPs for
+    HBM residual traffic on the fwd+bwd path."""
     if differentiable:
-        return jax.lax.fori_loop(0, n_iters, lambda i, s: body(s), init)
+        # prevent_cse=False: inside fori/scan CSE across iterations cannot
+        # happen anyway, and the optimization barriers prevent_cse inserts
+        # crash the axon TPU backend (InvalidArgument at dispatch)
+        step = (jax.checkpoint(body, prevent_cse=False) if remat else body)
+        return jax.lax.fori_loop(0, n_iters, lambda i, s: step(s), init)
     return jax.lax.while_loop(cond, body, init)
 
 
@@ -60,6 +70,7 @@ class CameraRecords:
     # common.cu.h:7-14; here they seed per-pixel initial PPM radii — what
     # pbrt's SPPM does). 0 when differentials weren't supplied.
     footprint: Array  # [N]
+    uv: Array = None  # [N, 2] surface uv at the hit (texture seam)
 
     @property
     def hit(self) -> Array:
@@ -88,10 +99,58 @@ def camera_pass(
     return_aux: also return {'pair_overflow': int32} — accumulated cluster
     pair-budget overflow across the chain (0 = traversal was exact)."""
     n = o.shape[0]
+    if config.differentiable:
+        # RECORD AND REPLAY (same design as trace_photons): hit geometry is
+        # stop_gradient'd, so the camera records' only differentiable
+        # content is atten = Π_j kd[m_j] ⊙ (parameter-free residuals) over
+        # the specular chain. Run the FAST non-differentiable pass (early-
+        # exit while_loop + compaction) recording the chain of specular
+        # material ids, then rebuild atten as sg(atten)·N/sg(N) with
+        # N = Π kd[m_j] — identical primal, exact gradient, and AD never
+        # sees an intersect.
+        import dataclasses
+
+        cfg_walk = dataclasses.replace(config, differentiable=False)
+        scene_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
+        rec, aux, chain = _camera_pass_recorded(
+            scene_sg, o, d, cfg_walk, rays)
+        kd = scene.materials.kd
+        n_prod = jnp.ones((n, 3), jnp.float32)
+        for j in range(chain.shape[1]):
+            m = chain[:, j]
+            n_prod = n_prod * jnp.where(
+                (m >= 0)[:, None], kd[jnp.maximum(m, 0)], 1.0)
+        n_sg = jax.lax.stop_gradient(n_prod)
+        atten = jnp.where(
+            n_sg != 0.0,
+            jax.lax.stop_gradient(rec.atten)
+            * n_prod / jnp.where(n_sg == 0.0, 1.0, n_sg),
+            0.0,
+        )
+        rec = rec.replace(atten=atten)
+        if return_aux:
+            return rec, aux
+        return rec
+
+    return _camera_pass_impl(scene, o, d, config, rays, return_aux,
+                             record=False)
+
+
+def _camera_pass_recorded(scene, o, d, config, rays):
+    """Non-differentiable camera pass that ALSO returns the per-ray chain
+    of specular material ids [n, max_specular_depth+1] (−1 padded) — the
+    differentiable structure of atten for the record-and-replay AD path."""
+    return _camera_pass_impl(scene, o, d, config, rays, return_aux=True,
+                             record=True)
+
+
+def _camera_pass_impl(scene, o, d, config, rays, return_aux, record):
+    n = o.shape[0]
+    DS = config.max_specular_depth + 1
     k = compact_queue_size(config, n)
     if k:
         return _camera_pass_compact(scene, o, d, config, rays, k,
-                                    return_aux)
+                                    return_aux, record=record)
     eps = jnp.float32(config.scene_epsilon)
 
     def empty_records():
@@ -102,6 +161,7 @@ def camera_pass(
             mat=jnp.full((n,), -1, jnp.int32),
             light=jnp.full((n,), -1, jnp.int32),
             atten=jnp.ones((n, 3), jnp.float32),
+            uv=jnp.zeros((n, 2), jnp.float32),
             footprint=jnp.zeros((n,), jnp.float32),
         )
 
@@ -109,8 +169,10 @@ def camera_pass(
         depth, active, *_ = state
         return (depth <= config.max_specular_depth) & jnp.any(active)
 
+    rows = jnp.arange(n)
+
     def body(state):
-        depth, active, o, d, atten, rec, ovf = state
+        depth, active, o, d, atten, rec, ovf, rec_st = state
         tmin = jnp.full((n,), eps)
         hit = isect_ops.intersect(scene, o, d, tmin, jnp.full((n,), BIG),
                                   rounds=config.intersect_rounds)
@@ -144,6 +206,7 @@ def camera_pass(
             mat=jnp.where(diff_hit, hit.mat, rec.mat),
             light=jnp.where(diff_hit, hit.light, rec.light),
             atten=rec.atten,
+            uv=w(diff_hit, hit.uv, rec.uv),
             footprint=jnp.where(first_hit, fp, rec.footprint),
         )
 
@@ -153,14 +216,24 @@ def camera_pass(
         o2 = jnp.where(spec_hit[:, None], hit.p, o)
         d2 = jnp.where(spec_hit[:, None], wi, d)
         atten2 = jnp.where(spec_hit[:, None], atten * thr, atten)
-        return depth + 1, spec_hit, o2, d2, atten2, rec, ovf
+        if record:
+            chain, cptr = rec_st
+            col = jnp.clip(cptr, 0, DS - 1)
+            chain = chain.at[rows, col].set(
+                jnp.where(spec_hit, hit.mat, chain[rows, col]))
+            rec_st = (chain, cptr + spec_hit.astype(jnp.int32))
+        return depth + 1, spec_hit, o2, d2, atten2, rec, ovf, rec_st
 
-    depth, active, o, d, atten, rec, ovf = bounded_loop(
+    rec_st0 = ((jnp.full((n, DS), -1, jnp.int32),
+                jnp.zeros((n,), jnp.int32)) if record else ())
+    depth, active, o, d, atten, rec, ovf, rec_st = bounded_loop(
         cond, body,
         (jnp.int32(0), jnp.ones((n,), bool), o, d,
-         jnp.ones((n, 3), jnp.float32), empty_records(), jnp.int32(0)),
+         jnp.ones((n, 3), jnp.float32), empty_records(), jnp.int32(0),
+         rec_st0),
         n_iters=config.max_specular_depth + 1,
         differentiable=config.differentiable,
+        remat=config.remat_walks,
     )
     # rays still active past the cap → exception flag (reference:
     # raytracing.cu:98-101)
@@ -168,6 +241,8 @@ def camera_pass(
         status=jnp.where(active, 2, rec.status),
         atten=atten,
     )
+    if record:
+        return rec, dict(pair_overflow=ovf), rec_st[0]
     if return_aux:
         return rec, dict(pair_overflow=ovf)
     return rec
@@ -175,7 +250,7 @@ def camera_pass(
 
 def _camera_pass_compact(
     scene: Scene, o: Array, d: Array, config: RenderConfig, rays, k: int,
-    return_aux: bool = False,
+    return_aux: bool = False, record: bool = False,
 ):
     """camera_pass with survivor compaction: bounce 0 runs full-batch (every
     ray is live), then the specular survivors — a few percent of the batch —
@@ -191,6 +266,8 @@ def _camera_pass_compact(
     n = o.shape[0]
     eps = jnp.float32(config.scene_epsilon)
     cap = config.max_specular_depth
+    DS = cap + 1
+    chain = (jnp.full((n, DS), -1, jnp.int32) if record else None)
 
     # ---- bounce 0: full batch --------------------------------------------
     hit = isect_ops.intersect(
@@ -223,6 +300,7 @@ def _camera_pass_compact(
         mat=jnp.where(diff_hit, hit.mat, -1),
         light=jnp.where(diff_hit, hit.light, -1),
         atten=jnp.ones((n, 3), jnp.float32),
+        uv=w(diff_hit, hit.uv, jnp.zeros((n, 2), jnp.float32)),
         footprint=fp,
     )
     thr, wi = mat_ops.specular(scene.materials, hit.mat, hit.ns, hit.dpdu, -d)
@@ -230,6 +308,8 @@ def _camera_pass_compact(
     d = w(spec_hit, wi, d)
     atten = w(spec_hit, thr, jnp.ones((n, 3), jnp.float32))
     active = spec_hit
+    if record:
+        chain = chain.at[:, 0].set(jnp.where(spec_hit, hit.mat, -1))
 
     # ---- batches of ≤ k survivors, each walked to completion --------------
     max_batches = -(-n // k)
@@ -239,9 +319,11 @@ def _camera_pass_compact(
         bounce, alive, *_ = s
         return (bounce <= cap) & jnp.any(alive)
 
+    krows = jnp.arange(k)
+
     def inner_body(s):
         """One specular bounce for the k queued lanes (k-sized ops only)."""
-        bounce, alive, o_k, d_k, atten_k, st_k, rk, ovf_k = s
+        bounce, alive, o_k, d_k, atten_k, st_k, rk, ovf_k, rec_k = s
         hit = isect_ops.intersect(
             scene, o_k, d_k, jnp.full((k,), eps), jnp.full((k,), BIG),
             rounds=config.intersect_rounds,
@@ -255,10 +337,11 @@ def _camera_pass_compact(
         st_k = jnp.where(diff_k, 0, jnp.where(miss_k, 1, st_k))
         rk = tuple(
             wk(diff_k, v, cur) for v, cur in zip(
-                (hit.p, hit.ns, hit.ng, hit.dpdu, hit.dpdv, d_k), rk[:6])
+                (hit.p, hit.ns, hit.ng, hit.dpdu, hit.dpdv, d_k, hit.uv),
+                rk[:7])
         ) + tuple(
             jnp.where(diff_k, v, cur) for v, cur in zip(
-                (hit.mat, hit.light), rk[6:])
+                (hit.mat, hit.light), rk[7:])
         )
         thr, wi2 = mat_ops.specular(
             scene.materials, hit.mat, hit.ns, hit.dpdu, -d_k
@@ -266,26 +349,35 @@ def _camera_pass_compact(
         o_k = wk(spec_k, hit.p, o_k)
         d_k = wk(spec_k, wi2, d_k)
         atten_k = wk(spec_k, atten_k * thr, atten_k)
-        return bounce + 1, spec_k, o_k, d_k, atten_k, st_k, rk, ovf_k
+        if record:
+            ch_k, cp_k = rec_k
+            col = jnp.clip(cp_k, 0, DS - 1)
+            ch_k = ch_k.at[krows, col].set(
+                jnp.where(spec_k, hit.mat, ch_k[krows, col]))
+            rec_k = (ch_k, cp_k + spec_k.astype(jnp.int32))
+        return (bounce + 1, spec_k, o_k, d_k, atten_k, st_k, rk, ovf_k,
+                rec_k)
 
     def outer_cond(s):
         it, active, *_ = s
         return (it < max_batches) & jnp.any(active)
 
     def outer_body(s):
-        it, active, o, d, atten, rec, ovf = s
+        it, active, o, d, atten, rec, ovf, chain_g = s
         idx_raw = jnp.nonzero(active, size=k, fill_value=n)[0]
         sel = idx_raw < n
         idx = jnp.minimum(idx_raw, n - 1)
 
         zk3 = jnp.zeros((k, 3), jnp.float32)
         rk = (zk3, zk3, zk3, zk3, zk3, d[idx],
+              jnp.zeros((k, 2), jnp.float32),
               jnp.full((k,), -1, jnp.int32), jnp.full((k,), -1, jnp.int32))
+        rec_k0 = (((chain_g[idx],
+                    jnp.ones((k,), jnp.int32)) if record else ()))
         init = (jnp.int32(1), sel, o[idx], d[idx], atten[idx],
-                jnp.full((k,), 1, jnp.int32), rk, jnp.int32(0))
-        _, alive_end, _, _, atten_k, st_k, rk, ovf_k = jax.lax.while_loop(
-            inner_cond, inner_body, init
-        )
+                jnp.full((k,), 1, jnp.int32), rk, jnp.int32(0), rec_k0)
+        (_, alive_end, _, _, atten_k, st_k, rk, ovf_k,
+         rec_k) = jax.lax.while_loop(inner_cond, inner_body, init)
         # still alive after the cap → exception flag (raytracing.cu:98-101)
         st_k = jnp.where(alive_end, 2, st_k)
 
@@ -302,17 +394,25 @@ def _camera_pass_compact(
             dpdu=scat(rec.dpdu, rk[3]),
             dpdv=scat(rec.dpdv, rk[4]),
             direction=scat(rec.direction, rk[5]),
-            mat=scat(rec.mat, rk[6]),
-            light=scat(rec.light, rk[7]),
+            mat=scat(rec.mat, rk[7]),
+            light=scat(rec.light, rk[8]),
             atten=scat(rec.atten, atten_k),
+            uv=scat(rec.uv, rk[6]),
             footprint=rec.footprint,
         )
+        if record:
+            ch_k, _ = rec_k
+            chain_g = chain_g.at[idx_raw].set(
+                jnp.where(sel[:, None], ch_k, chain_g[idx]), mode="drop")
         active = active.at[idx_raw].set(False, mode="drop")
-        return it + 1, active, o, d, atten, rec, ovf + ovf_k
+        return it + 1, active, o, d, atten, rec, ovf + ovf_k, chain_g
 
-    init = (jnp.int32(0), active, o, d, atten, rec, ovf0)
-    _, _, _, _, _, rec, ovf = jax.lax.while_loop(
+    init = (jnp.int32(0), active, o, d, atten, rec, ovf0,
+            chain if record else jnp.zeros((0,), jnp.int32))
+    _, _, _, _, _, rec, ovf, chain = jax.lax.while_loop(
         outer_cond, outer_body, init)
+    if record:
+        return rec, dict(pair_overflow=ovf), chain
     if return_aux:
         return rec, dict(pair_overflow=ovf)
     return rec
@@ -379,7 +479,7 @@ def direct_lighting(
             rounds=config.intersect_rounds,
         )
         wi = vec.normalize(uwi)
-        fr = mat_ops.f(scene.materials, rec.mat, wo, wi)
+        fr = mat_ops.f(scene.materials, rec.mat, wo, wi, uv=rec.uv)
         cos = vec.absdot(rec.ns, wi)
         good = hit & ~shadowed & (pdf > 0.0) & (vec.length_squared(li) > 0.0)
         contrib = cos[:, None] * fr * li * (inv_ns / jnp.where(

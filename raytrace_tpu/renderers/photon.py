@@ -99,7 +99,73 @@ def trace_photons(
     from threefry folded with (pass, purpose) — a pure function of indices, so
     results are reproducible at any sharding (unlike the reference's global
     cuRAND stream, cudarandom.h:15).
+
+    DIFFERENTIABLE PATH (config.differentiable) — record and replay: hit
+    geometry is stop_gradient'd by design, so the only differentiable
+    content of a photon is its alpha = X · Le[light] · Π_j kd[m_j], with X
+    a parameter-independent scalar chain (cosines, pdfs, texture factors,
+    Fresnel terms). The walk therefore runs in its FAST non-differentiable
+    form (while_loop + survivor compaction — AD never sees an intersect)
+    while RECORDING each deposit's material-id chain, and alpha is
+    reconstructed differentiably as
+
+        alpha = sg(alpha_walk) · N / sg(N),   N = Le[lid] ⊙ Π_j kd[m_j]
+
+    — bit-identical primal, exact gradient (∂alpha/∂kd_m = alpha·c_m/kd_m).
+    Caveat: parameter channels that are EXACTLY zero get zero gradient
+    through this ratio (alpha is zero there anyway); optimizers keep
+    albedos off exact zero.
     """
+    import dataclasses
+
+    if config.differentiable:
+        # RR stays off (matching the previous differentiable estimator —
+        # the 1/P(kd) reweight would need a score-function term)
+        cfg_walk = dataclasses.replace(
+            config, differentiable=False, russian_roulette=False)
+        scene_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
+        pm, aux, chain, lid_slot = _trace_photons_core(
+            scene_sg, cfg_walk, key, pass_idx, light_index, path_offset,
+            record=True,
+        )
+        kd = scene.materials.kd
+        le = scene.lights.intensity
+        n_prod = le[lid_slot]  # [slots, 3]
+        for j in range(chain.shape[1]):
+            m = chain[:, j]
+            n_prod = n_prod * jnp.where(
+                (m >= 0)[:, None], kd[jnp.maximum(m, 0)], 1.0)
+        n_sg = jax.lax.stop_gradient(n_prod)
+        alpha = jnp.where(
+            n_sg != 0.0,
+            jax.lax.stop_gradient(pm.alpha)
+            * n_prod / jnp.where(n_sg == 0.0, 1.0, n_sg),
+            0.0,
+        )
+        pm = photon_grid.PhotonMap(
+            p=pm.p, alpha=alpha, wi=pm.wi, valid=pm.valid)
+        if with_aux:
+            return pm, aux
+        return pm
+
+    pm, aux, _, _ = _trace_photons_core(
+        scene, config, key, pass_idx, light_index, path_offset,
+        record=False,
+    )
+    if with_aux:
+        return pm, aux
+    return pm
+
+
+def _trace_photons_core(
+    scene: Scene,
+    config: RenderConfig,
+    key: Array,
+    pass_idx: int,
+    light_index: int | None = None,
+    path_offset=0,
+    record: bool = False,
+):
     n_paths = config.photon_paths
     max_depth = config.max_photon_depth
     k_perm, k_bounce = jax.random.split(jax.random.fold_in(key, pass_idx))
@@ -152,17 +218,21 @@ def trace_photons(
     # pathologically on TPU (the (4, 128) layout pads 4×3 minor dims 42×,
     # 192 MB → 8 GB — a measured OOM at the 4M-path config).
     n_slots = n_paths * max_depth
+    CH = config.max_photon_bounces  # chain capacity (≤ one append per step)
     ph_p = jnp.zeros((n_slots, 3), jnp.float32)
     ph_alpha = jnp.zeros((n_slots, 3), jnp.float32)
     ph_wi = jnp.zeros((n_slots, 3), jnp.float32)
     ph_valid = jnp.zeros((n_slots,), bool)
+    ph_chain = (jnp.full((n_slots, CH), -1, jnp.int32) if record else None)
 
     step = partial(_photon_step, scene, config)
     k = common.compact_queue_size(config, n_paths)
     if k:
-        (ph_p, ph_alpha, ph_wi, ph_valid), pair_ovf = _photon_walk_compact(
+        ((ph_p, ph_alpha, ph_wi, ph_valid), pair_ovf,
+         ph_chain) = _photon_walk_compact(
             step, uniforms, alive, o, d, alpha,
             (ph_p, ph_alpha, ph_wi, ph_valid), config, k,
+            ph_chain=ph_chain,
         )
     else:
         rows = jnp.arange(n_paths)
@@ -172,8 +242,8 @@ def trace_photons(
             return (it < config.max_photon_bounces) & jnp.any(alive)
 
         def body(state):
-            it, alive, o, d, alpha, n_int, ph, ovf = state
-            ph_p, ph_alpha, ph_wi, ph_valid = ph
+            it, alive, o, d, alpha, n_int, ph, ovf, rec_st = state
+            ph_p, ph_alpha, ph_wi, ph_valid, ph_ch = ph
             u = uniforms[rows, jnp.clip(n_int, 0, max_depth)]
             out = step(o, d, alpha, n_int, alive, u)
             ovf = ovf + out["pair_overflow"]
@@ -189,28 +259,53 @@ def trace_photons(
             ph_valid = ph_valid.at[fslot].set(
                 jnp.where(dep, True, ph_valid[fslot])
             )
+            if record:
+                chain, cptr = rec_st
+                # deposit FIRST (its alpha excludes this surface), then
+                # append this bounce's material for the continuation
+                ph_ch = dep_val(ph_ch, chain)
+                app = out["append"]
+                col = jnp.clip(cptr, 0, CH - 1)
+                chain = chain.at[rows, col].set(
+                    jnp.where(app, out["append_mat"], chain[rows, col]))
+                cptr = cptr + app.astype(jnp.int32)
+                rec_st = (chain, cptr)
             return (
                 it + 1, out["alive"], out["o"], out["d"], out["alpha"],
-                out["n_int"], (ph_p, ph_alpha, ph_wi, ph_valid), ovf,
+                out["n_int"], (ph_p, ph_alpha, ph_wi, ph_valid, ph_ch),
+                ovf, rec_st,
             )
 
+        rec_st0 = ((jnp.full((n_paths, CH), -1, jnp.int32),
+                    jnp.zeros((n_paths,), jnp.int32)) if record else ())
         init = (
             jnp.int32(0), alive, o, d, alpha,
             jnp.zeros((n_paths,), jnp.int32),
-            (ph_p, ph_alpha, ph_wi, ph_valid), jnp.int32(0),
+            (ph_p, ph_alpha, ph_wi, ph_valid, ph_chain), jnp.int32(0),
+            rec_st0,
         )
-        (_, _, _, _, _, _, (ph_p, ph_alpha, ph_wi, ph_valid),
-         pair_ovf) = common.bounded_loop(
+        (_, _, _, _, _, _, (ph_p, ph_alpha, ph_wi, ph_valid, ph_chain),
+         pair_ovf, _) = common.bounded_loop(
             cond, body, init,
             n_iters=config.max_photon_bounces,
             differentiable=config.differentiable,
+            remat=config.remat_walks,
         )
     pm = photon_grid.PhotonMap(
         p=ph_p, alpha=ph_alpha, wi=ph_wi, valid=ph_valid
     )
-    if with_aux:
-        return pm, dict(pair_overflow=pair_ovf)
-    return pm
+    # per-slot light id (pure function of global path ids — no recording)
+    if record:
+        if light_index is None and n_lights > 1:
+            lid_slot = jnp.repeat(
+                (global_path_ids % jnp.uint32(n_lights)).astype(jnp.int32),
+                max_depth)
+        else:
+            lid = light_index if light_index is not None else 0
+            lid_slot = jnp.full((n_slots,), lid, jnp.int32)
+    else:
+        lid_slot = None
+    return pm, dict(pair_overflow=pair_ovf), ph_chain, lid_slot
 
 
 def _photon_step(
@@ -244,7 +339,8 @@ def _photon_step(
     # --- diffuse continuation (photontracing.cu:153-184) -------------------
     cont = diff_hit & (n_int < max_depth)
     fr, wi_d, pdf_b = mat_ops.sample_f(
-        scene.materials, hit.mat, hit.ns, hit.dpdu, -d, u[:, 0], u[:, 1]
+        scene.materials, hit.mat, hit.ns, hit.dpdu, -d, u[:, 0], u[:, 1],
+        uv=hit.uv,
     )
     cont = cont & ~spectrum.is_black(fr) & (pdf_b > 0.0)
     anew = (
@@ -288,10 +384,16 @@ def _photon_step(
         deposit=deposit, slot=slot, dep_p=hit.p, dep_alpha=alpha, dep_wi=-d,
         o=o2, d=d2, alpha=alpha2, n_int=n_int2, alive=next_alive,
         pair_overflow=pair_overflow,
+        # chain recording (record-and-replay AD, trace_photons): every
+        # surviving bounce multiplies alpha by a factor containing the
+        # surface's kd/kr — the deposit's differentiable structure is the
+        # list of material ids appended BEFORE it
+        append=next_alive & (spec_hit | cont), append_mat=hit.mat,
     )
 
 
-def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
+def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k,
+                         ph_chain=None):
     """Photon walk with survivor compaction (see common.compact_queue_size):
     step 0 runs full-batch (every path is live), then survivors are gathered
     into a static k-wide queue and walked TO COMPLETION by an inner bounce
@@ -303,8 +405,12 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
     XLA fusion noise."""
     n = o.shape[0]
     max_depth = config.max_photon_depth
+    record = ph_chain is not None
+    CH = config.max_photon_bounces
     ph_p, ph_alpha, ph_wi, ph_valid = ph  # FLAT [n·max_depth, ...] buffers
     rows = jnp.arange(n)
+    chain = (jnp.full((n, CH), -1, jnp.int32) if record else None)
+    cptr = (jnp.zeros((n,), jnp.int32) if record else None)
 
     # ---- step 0: full batch ----------------------------------------------
     u0 = uniforms[rows, 0]
@@ -319,6 +425,13 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
     ph_alpha = dep_val(ph_alpha, out["dep_alpha"])
     ph_wi = dep_val(ph_wi, out["dep_wi"])
     ph_valid = ph_valid.at[fslot].set(jnp.where(dep, True, ph_valid[fslot]))
+    if record:
+        ph_chain = dep_val(ph_chain, chain)
+        app = out["append"]
+        col = jnp.clip(cptr, 0, CH - 1)
+        chain = chain.at[rows, col].set(
+            jnp.where(app, out["append_mat"], chain[rows, col]))
+        cptr = cptr + app.astype(jnp.int32)
     alive = out["alive"]
     o, d, alpha, n_int = out["o"], out["d"], out["alpha"], out["n_int"]
     alive = alive & (config.max_photon_bounces > 1)
@@ -339,8 +452,8 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
             return (it < warm) & jnp.any(alive)
 
         def wbody(s):
-            it, alive, o, d, alpha, n_int, ph, ovf = s
-            ph_p, ph_alpha, ph_wi, ph_valid = ph
+            it, alive, o, d, alpha, n_int, ph, ovf, rec_st = s
+            ph_p, ph_alpha, ph_wi, ph_valid, ph_ch = ph
             u = uniforms[rows_w, jnp.clip(n_int, 0, max_depth)]
             out = step(o, d, alpha, n_int, alive, u)
             ovf = ovf + out["pair_overflow"]
@@ -356,16 +469,29 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
             ph_valid = ph_valid.at[fslot].set(
                 jnp.where(dep, True, ph_valid[fslot])
             )
+            if record:
+                ch, cp = rec_st
+                ph_ch = dep_val(ph_ch, ch)
+                app = out["append"]
+                col = jnp.clip(cp, 0, CH - 1)
+                ch = ch.at[rows_w, col].set(
+                    jnp.where(app, out["append_mat"], ch[rows_w, col]))
+                rec_st = (ch, cp + app.astype(jnp.int32))
             alive2 = out["alive"] & (it + 1 < config.max_photon_bounces)
             return (it + 1, alive2, out["o"], out["d"], out["alpha"],
-                    out["n_int"], (ph_p, ph_alpha, ph_wi, ph_valid), ovf)
+                    out["n_int"], (ph_p, ph_alpha, ph_wi, ph_valid, ph_ch),
+                    ovf, rec_st)
 
         (wsteps, alive, o, d, alpha, n_int,
-         (ph_p, ph_alpha, ph_wi, ph_valid), pair_ovf) = jax.lax.while_loop(
+         (ph_p, ph_alpha, ph_wi, ph_valid, ph_chain), pair_ovf,
+         rec_w) = jax.lax.while_loop(
             wcond, wbody,
             (jnp.int32(1), alive, o, d, alpha, n_int,
-             (ph_p, ph_alpha, ph_wi, ph_valid), pair_ovf),
+             (ph_p, ph_alpha, ph_wi, ph_valid, ph_chain), pair_ovf,
+             ((chain, cptr) if record else ())),
         )
+        if record:
+            chain, cptr = rec_w
     else:
         wsteps = jnp.int32(1)
 
@@ -379,8 +505,9 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
     def inner_body(s):
         """One walk step for the k queued lanes — k-sized ops only; deposits
         land in the batch-local flat [k·max_depth] rows."""
-        stp, alive_k, o_k, d_k, a_k, ni_k, idx, dph, ovf_k = s
-        dp, da, dw, dv = dph
+        (stp, alive_k, o_k, d_k, a_k, ni_k, idx, dph, ovf_k,
+         rec_k) = s
+        dp, da, dw, dv, dc = dph
         u = uniforms[idx, jnp.clip(ni_k, 0, max_depth)]
         out = step(o_k, d_k, a_k, ni_k, alive_k, u)
         ovf_k = ovf_k + out["pair_overflow"]
@@ -394,8 +521,16 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
         da = dep_val(da, out["dep_alpha"])
         dw = dep_val(dw, out["dep_wi"])
         dv = dv.at[fslot_k].set(jnp.where(depk, True, dv[fslot_k]))
+        if record:
+            ch_k, cp_k = rec_k
+            dc = dep_val(dc, ch_k)
+            app = out["append"]
+            col = jnp.clip(cp_k, 0, CH - 1)
+            ch_k = ch_k.at[krows, col].set(
+                jnp.where(app, out["append_mat"], ch_k[krows, col]))
+            rec_k = (ch_k, cp_k + app.astype(jnp.int32))
         return (stp + 1, out["alive"], out["o"], out["d"], out["alpha"],
-                out["n_int"], idx, (dp, da, dw, dv), ovf_k)
+                out["n_int"], idx, (dp, da, dw, dv, dc), ovf_k, rec_k)
 
     def outer_cond(s):
         it, alive, *_ = s
@@ -403,7 +538,7 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
 
     def outer_body(s):
         it, alive, ph, ovf = s
-        ph_p, ph_alpha, ph_wi, ph_valid = ph
+        ph_p, ph_alpha, ph_wi, ph_valid, ph_ch = ph
         idx_raw = jnp.nonzero(alive, size=k, fill_value=n)[0]
         sel = idx_raw < n
         idx = jnp.minimum(idx_raw, n - 1)
@@ -416,10 +551,12 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
 
         # batch-local deposit rows seeded from the full-width-step deposits
         # so the final row write-back can't erase them
-        dph = (ph_p[fidx], ph_alpha[fidx], ph_wi[fidx], ph_valid[fidx])
+        dph = (ph_p[fidx], ph_alpha[fidx], ph_wi[fidx], ph_valid[fidx],
+               ph_ch[fidx] if record else None)
+        rec_k = ((chain[idx], cptr[idx]) if record else ())
         init = (wsteps, sel, o[idx], d[idx], alpha[idx], n_int[idx],
-                idx, dph, jnp.int32(0))
-        _, _, _, _, _, _, _, dph, ovf_k = jax.lax.while_loop(
+                idx, dph, jnp.int32(0), rec_k)
+        _, _, _, _, _, _, _, dph, ovf_k, _ = jax.lax.while_loop(
             inner_cond, inner_body, init
         )
         scat_rows = lambda buf, v, m: buf.at[fidx_raw].set(
@@ -430,14 +567,15 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k):
             scat_rows(ph_alpha, dph[1], selk[:, None]),
             scat_rows(ph_wi, dph[2], selk[:, None]),
             scat_rows(ph_valid, dph[3], selk),
+            scat_rows(ph_ch, dph[4], selk[:, None]) if record else None,
         )
         alive2 = alive.at[idx_raw].set(False, mode="drop")
         return it + 1, alive2, ph, ovf + ovf_k
 
-    init = (jnp.int32(0), alive, (ph_p, ph_alpha, ph_wi, ph_valid),
-            pair_ovf)
+    init = (jnp.int32(0), alive,
+            (ph_p, ph_alpha, ph_wi, ph_valid, ph_chain), pair_ovf)
     _, _, ph, pair_ovf = jax.lax.while_loop(outer_cond, outer_body, init)
-    return ph, pair_ovf
+    return ph[:4], pair_ovf, ph[4]
 
 
 def gathering_pass(
@@ -454,7 +592,7 @@ def gathering_pass(
     the jnp hash-grid path (CPU, and the differentiable path: the grid
     gather is linear in alpha/kd so AD flows through it)."""
     wo = vec.normalize(-rec.direction)
-    kd_over_pi = mat_ops.f(scene.materials, rec.mat, wo, wo)
+    kd_over_pi = mat_ops.f(scene.materials, rec.mat, wo, wo, uv=rec.uv)
     from raytrace_tpu.ops.intersect import _pallas_enabled
 
     gather_overflow = jnp.int32(0)

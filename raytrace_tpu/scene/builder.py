@@ -45,6 +45,8 @@ class SceneBuilder:
         self._mat_type: list[int] = []
         self._mat_kd: list[np.ndarray] = []
         self._mat_eta: list[float] = []
+        self._mat_tex: list[int] = []
+        self._mat_tex_scale: list[float] = []
         self._mat_dedup: dict = {}
 
         self._tris: list[dict] = []
@@ -57,19 +59,28 @@ class SceneBuilder:
         self._objects: dict[str, list] = {}
 
     # -- materials (dedup map mirrors cudarender.cpp:181-192) ---------------
-    def _add_material(self, mtype: int, kd, eta: float) -> int:
-        key = (mtype, tuple(np.round(np.asarray(kd, np.float64), 9)), round(eta, 9))
+    def _add_material(self, mtype: int, kd, eta: float,
+                      tex_type: int = 0, tex_scale: float = 1.0) -> int:
+        key = (mtype, tuple(np.round(np.asarray(kd, np.float64), 9)),
+               round(eta, 9), tex_type, round(tex_scale, 9))
         if key in self._mat_dedup:
             return self._mat_dedup[key]
         idx = len(self._mat_type)
         self._mat_type.append(mtype)
         self._mat_kd.append(np.asarray(kd, dtype=np.float64))
         self._mat_eta.append(float(eta))
+        self._mat_tex.append(int(tex_type))
+        self._mat_tex_scale.append(float(tex_scale))
         self._mat_dedup[key] = idx
         return idx
 
-    def matte(self, kd=(0.5, 0.5, 0.5)) -> int:
-        return self._add_material(MATTE, kd, 1.0)
+    def matte(self, kd=(0.5, 0.5, 0.5), texture: str | None = None,
+              tex_scale: float = 8.0) -> int:
+        """texture: None (constant) or "checker" — the per-material lookup
+        the reference stubs out (cudatexture.cu.h:7-9)."""
+        tex = {None: 0, "checker": 1}[texture]
+        return self._add_material(MATTE, kd, 1.0, tex_type=tex,
+                                  tex_scale=tex_scale)
 
     def mirror(self, kr=(0.9, 0.9, 0.9)) -> int:
         return self._add_material(MIRROR, kr, 1.0)
@@ -255,6 +266,9 @@ class SceneBuilder:
             mtype=jnp.asarray(np.asarray(self._mat_type or [0], np.int32)),
             kd=jnp.asarray(np.stack(self._mat_kd or [np.full(3, 0.5)]).astype(_F32)),
             eta=jnp.asarray(np.asarray(self._mat_eta or [1.0], _F32)),
+            tex_type=jnp.asarray(np.asarray(self._mat_tex or [0], np.int32)),
+            tex_scale=jnp.asarray(
+                np.asarray(self._mat_tex_scale or [1.0], _F32)),
         )
         # triangle staging stays in NUMPY until the very end: premature
         # jnp.asarray round-trips megabytes through the device (the axon TPU

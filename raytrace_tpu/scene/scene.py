@@ -95,6 +95,12 @@ class Materials:
     mtype: Array  # [M] int32: MATTE | MIRROR | GLASS
     kd: Array  # [M, 3] matte albedo or mirror reflectance Kr
     eta: Array  # [M] glass IOR (reference hard-codes 1.5, cudamaterial.cu.h:118)
+    # texture seam (the reference's placeholder evaluation point,
+    # util/texture/cudatexture.cu.h:7-9, returns a constant — here a real
+    # per-material hook): 0 = constant kd, 1 = checker (kd modulated by
+    # TEX_CHECKER_LO on odd cells of a tex_scale × tex_scale uv grid)
+    tex_type: Array = None  # [M] int32
+    tex_scale: Array = None  # [M] f32
 
 
 @flax.struct.dataclass

@@ -22,11 +22,32 @@ from raytrace_tpu.core.sampling import INV_PI, cosine_sample_hemisphere
 from raytrace_tpu.scene.scene import GLASS, MATTE, MIRROR, Materials
 
 
-def f(materials: Materials, mat: Array, wo_w: Array, wi_w: Array) -> Array:
+TEX_CHECKER_LO = 0.25  # odd checker cells scale kd by this
+
+
+def texture_eval(materials: Materials, mat: Array, uv: Array) -> Array:
+    """Per-material texture factor at uv [N, 2] → [N] (the reference's
+    texture hook, util/texture/cudatexture.cu.h:7-9, made real: constant or
+    procedural checker). Differentiable in nothing (a piecewise-constant
+    modulation of kd — AD flows through kd itself)."""
+    m = jnp.maximum(mat, 0)
+    tt = materials.tex_type[m]
+    sc = materials.tex_scale[m]
+    cell = (jnp.floor(uv[..., 0] * sc) + jnp.floor(uv[..., 1] * sc))
+    odd = jnp.mod(cell, 2.0) >= 1.0
+    checker = jnp.where(odd, jnp.float32(TEX_CHECKER_LO), 1.0)
+    return jnp.where(tt == 1, checker, 1.0)
+
+
+def f(materials: Materials, mat: Array, wo_w: Array, wi_w: Array,
+      uv: Array | None = None) -> Array:
     """BSDF value for non-specular scattering: Lambert kd/π for matte, black
     for everything else (reference: cudamaterial.cu.h:17-32). World-space
-    directions are accepted for signature parity; Lambert ignores them."""
+    directions are accepted for signature parity; Lambert ignores them.
+    uv (optional) evaluates the material's texture at the shading point."""
     kd = materials.kd[jnp.maximum(mat, 0)]
+    if uv is not None:
+        kd = kd * texture_eval(materials, mat, uv)[..., None]
     is_matte = (materials.mtype[jnp.maximum(mat, 0)] == MATTE) & (mat >= 0)
     return jnp.where(is_matte[..., None], kd * INV_PI, 0.0)
 
@@ -51,6 +72,7 @@ def sample_f(
     wo_w: Array,
     u1: Array,
     u2: Array,
+    uv: Array | None = None,
 ) -> tuple[Array, Array, Array]:
     """Cosine-hemisphere BSDF sampling in the shading frame
     (reference: cudamaterial.cu.h:68-98 Sample_f). Returns (f, wi_world, pdf)."""
@@ -59,7 +81,7 @@ def sample_f(
     wi = cosine_sample_hemisphere(u1, u2)
     wi = wi.at[..., 2].set(jnp.where(wo[..., 2] < 0.0, -wi[..., 2], wi[..., 2]))
     pdf = pdf_lambert(wo, wi)
-    fr = f(materials, mat, wo_w, wo_w)  # Lambert: direction-independent
+    fr = f(materials, mat, wo_w, wo_w, uv=uv)  # Lambert: dir-independent
     wi_w = vec.local_to_world(wi, nn, sn, tn)
     return fr, wi_w, pdf
 

@@ -133,8 +133,11 @@ class TestInverseRendering:
         params = true_params.replace(kd=kd0)
         err0 = float(jnp.abs(params.kd[0] - true_params.kd[0]).sum())
 
-        lr = 4.0
-        for _ in range(12):
+        # lr retuned from 4.0: the small-map differentiable gather is now
+        # EXACT on every backend (round-4 fix) — the untruncated indirect
+        # gradient is larger and lr=4 overshoots into divergence
+        lr = 2.0
+        for _ in range(14):
             loss, grads = loss_and_grad(
                 params, target, scene, camera, config, KEY, light_samples,
                 jitter=False,
