@@ -75,6 +75,12 @@ class RenderConfig:
     # -- photon hash grid --------------------------------------------------
     grid_max_photons_per_cell: int = 32  # static per-cell budget (masked)
     exact_gather: bool = False        # True: exact streamed all-pairs gather
+    # rowspan-gather capacity knobs (ADVICE r3: were hard-wired in the
+    # renderer). 0 = derive from the photon-map size: rounds scales the
+    # SMEM-bounded per-round job list (2^17 jobs each) with the map,
+    # clamped to [4, 16]; r_max is the per-tile (z, y)-row budget.
+    gather_rounds: int = 0
+    gather_r_max: int = 64
                                       # (photon_grid.gather_radius_dense) —
                                       # no per-cell truncation; the oracle
                                       # setting for parity tests and small

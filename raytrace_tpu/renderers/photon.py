@@ -633,19 +633,20 @@ def gathering_pass(
             # (pallas_gather._rowspan_S), so fwd+bwd both run this kernel.
             cell_size = gather_cell_size(rec, state)
             q_r2 = jnp.where(rec.hit, state.radius2, 0.0)
+            # capacity scales with the map (config knobs, 0 = auto):
+            # rounds × 2^17 jobs; each round's list is SMEM-prefetch
+            # bounded, so capacity is bought in rounds. r_max: (z, y)-row
+            # budget per query tile (big scenes put a tile's box at
+            # ~5×5×7 cells — 32 rows overflowed into the whole-box
+            # fallback, PERF.md §2).
+            rounds = config.gather_rounds or max(
+                4, min(16, photons.p.shape[0] >> 18))
             idl, m, gather_overflow = (
                 pallas_gather.gather_radius_pallas_rowspan(
                     photons.p, photons.alpha, photons.wi, photons.valid,
                     cell_size, rec.p, q_r2, rec.ns, kd_over_pi,
-                    # 64 (z,y) rows per tile: big scenes put a query tile's
-                    # box at ~5×5×7 cells, which overflowed the old 32-row
-                    # cap into the whole-box fallback (PERF.md §2)
-                    r_max=64,
-                    # 8 rounds × 2^17 jobs ≈ 1M-job capacity: the SMEM
-                    # prefetch bound caps one round's list, large scenes
-                    # (sparse horizon query tiles over 16M-photon maps)
-                    # need the extra rounds to stay exact
-                    rounds=8,
+                    r_max=config.gather_r_max,
+                    rounds=rounds,
                 )
             )
             isect_ops.debug_warn_nonzero(
