@@ -335,24 +335,32 @@ def _pallas_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _engine() -> str:
-    """Cluster-scene engine choice: 'epoch' (epoch-subtile, exact for
-    incoherent loads — ops/epoch_intersect.py) or 'cluster' (the round-3
-    tile engine). RAYTRACE_TPU_ENGINE overrides for A/B measurement."""
+def _engine(coherent: bool) -> str:
+    """Cluster-scene engine choice. 'epoch' (ops/epoch_intersect.py) is
+    exact for ANY ray mix and is the default for photon-bounce style
+    launches; 'cluster' (the round-3 tile engine) is ~15% faster on
+    COHERENT camera/shadow launches (measured 293k vs 250k rays/s on the
+    4M-tri direct-light bench), whose pair lists fit its budget — and its
+    overflow is counted into the same aux counter if they ever don't.
+    Call sites pass `coherent=True` for camera/shadow rays.
+    RAYTRACE_TPU_ENGINE=epoch|cluster overrides for A/B measurement."""
     import os
 
-    return os.environ.get("RAYTRACE_TPU_ENGINE", "epoch")
+    forced = os.environ.get("RAYTRACE_TPU_ENGINE")
+    if forced:
+        return forced
+    return "cluster" if coherent else "epoch"
 
 
 def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
-                       rounds: int = 1):
+                       rounds: int = 1, coherent: bool = False):
     """Acceleration dispatch: cluster-binned Pallas intersector on TPU,
     BVH wavefront traversal on CPU, dense scan/megakernel for small
     scenes. Returns (t, idx, beta, gamma, pair_overflow)."""
     if scene.clusters is not None and _pallas_enabled():
         from raytrace_tpu.ops.bvh import reintersect_winner
 
-        if _engine() == "epoch":
+        if _engine(coherent) == "epoch":
             from raytrace_tpu.ops import epoch_intersect as ei
 
             t, idx, _, overflow = ei.intersect_epochs(
@@ -419,11 +427,11 @@ def _warn_pair_overflow(overflow):
 
 
 def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
-                        rounds: int = 1):
+                        rounds: int = 1, coherent: bool = False):
     """Any-hit within (tmin, tmax) → (occluded [N] bool, pair_overflow)."""
     zero = jnp.int32(0)
     if scene.clusters is not None and _pallas_enabled():
-        if _engine() == "epoch":
+        if _engine(coherent) == "epoch":
             from raytrace_tpu.ops import epoch_intersect as ei
 
             t, _, _, overflow = ei.intersect_epochs(
@@ -454,13 +462,15 @@ def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
     return t_tri < BIG, zero
 
 
-@partial(jax.jit, static_argnames=("tri_chunk", "rounds"))
+@partial(jax.jit, static_argnames=("tri_chunk", "rounds", "coherent"))
 def intersect(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
-              rounds: int = 1) -> Intersection:
+              rounds: int = 1, coherent: bool = False) -> Intersection:
     """Closest hit across all shape families. `rounds` buys cluster-pair
-    capacity at scale (cluster_intersect.intersect_clusters)."""
+    capacity at scale (cluster engine); `coherent` hints camera/shadow-
+    style launches toward the tile engine (see _engine)."""
     t_tri, i_tri, beta, gamma, ovf = _closest_triangles(
-        scene, o, d, tmin, tmax, tri_chunk, rounds=rounds)
+        scene, o, d, tmin, tmax, tri_chunk, rounds=rounds,
+        coherent=coherent)
     t_sph, i_sph = intersect_spheres(scene, o, d, tmin, tmax)
     t_dsk, i_dsk = intersect_disks(scene, o, d, tmin, tmax)
 
@@ -496,18 +506,20 @@ def intersect(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
     )
 
 
-@partial(jax.jit, static_argnames=("tri_chunk", "rounds"))
+@partial(jax.jit, static_argnames=("tri_chunk", "rounds", "coherent"))
 def occluded_aux(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
-                 rounds: int = 1) -> tuple[Array, Array]:
+                 rounds: int = 1, coherent: bool = False,
+                 ) -> tuple[Array, Array]:
     """Any-hit within (tmin, tmax) — the shadow ray type (reference:
     raytracing.cu:143-147 shadow_any_hit) → (occluded, pair_overflow)."""
     hit_tri, ovf = _occluded_triangles(scene, o, d, tmin, tmax, tri_chunk,
-                                       rounds=rounds)
+                                       rounds=rounds, coherent=coherent)
     t_sph, _ = intersect_spheres(scene, o, d, tmin, tmax)
     t_dsk, _ = intersect_disks(scene, o, d, tmin, tmax)
     return hit_tri | (t_sph < BIG) | (t_dsk < BIG), ovf
 
 
 def occluded(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
-             rounds: int = 1) -> Array:
-    return occluded_aux(scene, o, d, tmin, tmax, tri_chunk, rounds)[0]
+             rounds: int = 1, coherent: bool = False) -> Array:
+    return occluded_aux(scene, o, d, tmin, tmax, tri_chunk, rounds,
+                        coherent)[0]

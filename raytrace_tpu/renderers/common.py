@@ -175,7 +175,8 @@ def _camera_pass_impl(scene, o, d, config, rays, return_aux, record):
         depth, active, o, d, atten, rec, ovf, rec_st = state
         tmin = jnp.full((n,), eps)
         hit = isect_ops.intersect(scene, o, d, tmin, jnp.full((n,), BIG),
-                                  rounds=config.intersect_rounds)
+                                  rounds=config.intersect_rounds,
+                                  coherent=True)
         ovf = ovf + hit.pair_overflow
         spec = mat_ops.is_specular(scene.materials, hit.mat)
         spec_hit = active & hit.valid & spec
@@ -272,7 +273,7 @@ def _camera_pass_compact(
     # ---- bounce 0: full batch --------------------------------------------
     hit = isect_ops.intersect(
         scene, o, d, jnp.full((n,), eps), jnp.full((n,), BIG),
-        rounds=config.intersect_rounds,
+        rounds=config.intersect_rounds, coherent=True,
     )
     ovf0 = hit.pair_overflow
     spec = mat_ops.is_specular(scene.materials, hit.mat)
@@ -326,7 +327,7 @@ def _camera_pass_compact(
         bounce, alive, o_k, d_k, atten_k, st_k, rk, ovf_k, rec_k = s
         hit = isect_ops.intersect(
             scene, o_k, d_k, jnp.full((k,), eps), jnp.full((k,), BIG),
-            rounds=config.intersect_rounds,
+            rounds=config.intersect_rounds, coherent=True,
         )
         ovf_k = ovf_k + hit.pair_overflow
         spec = mat_ops.is_specular(scene.materials, hit.mat)
@@ -476,7 +477,7 @@ def direct_lighting(
             scene, rec.p, uwi,
             jnp.full((n,), eps, jnp.float32),
             jnp.full((n,), 1.0 - eps, jnp.float32),
-            rounds=config.intersect_rounds,
+            rounds=config.intersect_rounds, coherent=True,
         )
         wi = vec.normalize(uwi)
         fr = mat_ops.f(scene.materials, rec.mat, wo, wi, uv=rec.uv)

@@ -590,7 +590,13 @@ def gathering_pass(
     The radius search dispatches between the Pallas dense wavefront kernel
     (TPU forward path — exact, the measured hot spot of the pipeline) and
     the jnp hash-grid path (CPU, and the differentiable path: the grid
-    gather is linear in alpha/kd so AD flows through it)."""
+    gather is linear in alpha/kd so AD flows through it).
+
+    Known bias under gather JOB-BUDGET overflow (counted in the aux dict
+    and warned on): affected pixel tiles return L = 0 / M = 0 for the wave
+    while final_gathering still normalizes by ALL emitted paths, so those
+    pixels are biased DARK for that wave. Raise config.gather_rounds (or
+    leave 0 for the map-size auto-derivation) until the counter reads 0."""
     wo = vec.normalize(-rec.direction)
     kd_over_pi = mat_ops.f(scene.materials, rec.mat, wo, wo, uv=rec.uv)
     from raytrace_tpu.ops.intersect import _pallas_enabled
