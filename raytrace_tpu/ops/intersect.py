@@ -352,6 +352,15 @@ def _engine(coherent: bool) -> str:
     return "cluster" if coherent else "epoch"
 
 
+def _cluster_rounds(scene: Scene, rounds: int) -> int:
+    """Tile-engine pair capacity scaled with the cluster count: a COHERENT
+    262k-ray launch over 8192 clusters wants ~300k pairs, past one round's
+    2^17 SMEM budget (measured 21k dropped pairs at config[4] before this).
+    Unused rounds cost one skipped cond each."""
+    cp = scene.clusters.cmin.shape[0]
+    return max(rounds, -(-cp // 2048))
+
+
 def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
                        rounds: int = 1, coherent: bool = False):
     """Acceleration dispatch: cluster-binned Pallas intersector on TPU,
@@ -370,12 +379,15 @@ def _closest_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
             from raytrace_tpu.ops import cluster_intersect as ci
 
             t, idx, _, overflow = ci.intersect_clusters(
-                scene.clusters, o, d, tmin, tmax, rounds=rounds
+                scene.clusters, o, d, tmin, tmax,
+                rounds=_cluster_rounds(scene, rounds),
             )
         _warn_pair_overflow(overflow)
         found = t < jnp.minimum(BIG, tmax)
         t_diff, beta, gamma = reintersect_winner(scene.tris, idx, o, d, found)
         return t_diff, idx, beta, gamma, overflow
+
+
     zero = jnp.int32(0)
     if scene.bvh is not None:
         from raytrace_tpu.ops import bvh as bvh_ops
@@ -441,7 +453,8 @@ def _occluded_triangles(scene: Scene, o, d, tmin, tmax, tri_chunk: int,
             from raytrace_tpu.ops import cluster_intersect as ci
 
             t, _, _, overflow = ci.intersect_clusters(
-                scene.clusters, o, d, tmin, tmax, rounds=rounds
+                scene.clusters, o, d, tmin, tmax,
+                rounds=_cluster_rounds(scene, rounds),
             )
         _warn_pair_overflow(overflow)
         return t < jnp.minimum(BIG, tmax), overflow
