@@ -54,11 +54,14 @@ def _to_number(tok: str):
 
 @dataclass
 class _GraphicsState:
-    """pbrt graphics state saved/restored by AttributeBegin/End."""
+    """pbrt graphics state saved/restored by AttributeBegin/End.
+    `textures` (named Texture statements) is SHARED, not copied — pbrt
+    texture names are file-scoped."""
     ctm: np.ndarray = field(default_factory=tr.identity)
     material: int | None = None
     area_light: dict | None = None
     reverse_orientation: bool = False
+    textures: dict = field(default_factory=dict)
 
     def copy(self) -> "_GraphicsState":
         return _GraphicsState(
@@ -67,6 +70,7 @@ class _GraphicsState:
             area_light=None if self.area_light is None
             else dict(self.area_light),
             reverse_orientation=self.reverse_orientation,
+            textures=self.textures,
         )
 
 
@@ -296,8 +300,23 @@ class _Parser:
         kind = _unquote(self._next())
         params = self._params()
         if kind == "matte":
-            self.state.material = self.builder.matte(
-                self._rgb(params, "Kd", (0.5, 0.5, 0.5)))
+            # 'texture Kd' references a named Texture statement
+            tex_ref = (self._get1(params, "Kd")
+                       if params.get("Kd", ("", [None]))[0] == "texture"
+                       else None)
+            tex = self.state.textures.get(tex_ref) if tex_ref else None
+            if tex_ref and tex is None:
+                warnings.warn(f"pbrt: texture {tex_ref!r} undefined; "
+                              "using constant Kd")
+            if tex and tex["klass"] == "checker":
+                self.state.material = self.builder.matte(
+                    tuple(tex["kd"]), texture="checker",
+                    tex_scale=tex["scale"])
+            elif tex and tex["klass"] == "constant":
+                self.state.material = self.builder.matte(tuple(tex["kd"]))
+            else:
+                self.state.material = self.builder.matte(
+                    self._rgb(params, "Kd", (0.5, 0.5, 0.5)))
         elif kind == "mirror":
             self.state.material = self.builder.mirror(
                 self._rgb(params, "Kr", (0.9, 0.9, 0.9)))
@@ -312,13 +331,29 @@ class _Parser:
             self.state.material = self.builder.default_material()
 
     def _stmt_Texture(self):
-        # name, type, class, params — the reference collapses textures to
-        # constants at setup (cudamaterial.cpp:31-43); we skip with a warning
-        self._next()
-        self._next()
-        self._next()
-        self._params()
-        warnings.warn("pbrt: Texture unsupported; ignored")
+        """'Texture "name" "type" "class" params'. Supported classes:
+        "constant" (value folds into Kd) and "checkerboard" (maps onto the
+        material table's checker seam — tex1 becomes Kd, uscale the cell
+        scale). The reference stubs textures out entirely
+        (cudatexture.cu.h:7-9 returns a constant)."""
+        name = _unquote(self._next())
+        self._next()  # value type (spectrum/float/color)
+        klass = _unquote(self._next())
+        params = self._params()
+        if klass == "checkerboard":
+            self.state.textures[name] = dict(
+                klass="checker",
+                kd=self._rgb(params, "tex1", (1.0, 1.0, 1.0)),
+                scale=float(self._get1(params, "uscale", 2.0)),
+            )
+        elif klass == "constant":
+            self.state.textures[name] = dict(
+                klass="constant",
+                kd=self._rgb(params, "value", (1.0, 1.0, 1.0)),
+            )
+        else:
+            warnings.warn(
+                f"pbrt: texture class {klass!r} unsupported; ignored")
 
     def _stmt_LightSource(self):
         kind = _unquote(self._next())

@@ -134,3 +134,32 @@ def test_lookat_and_fov():
     np.testing.assert_allclose(
         np.asarray(parsed.camera.camera_to_world)[:, 3], expect[:3, 3],
         atol=1e-5)
+
+
+def test_texture_checkerboard_maps_to_checker_seam():
+    """'Texture' + 'texture Kd' reference → material-table checker entry
+    (the reference stubs textures to constants, cudatexture.cu.h:7-9)."""
+    import numpy as np
+
+    from raytrace_tpu.scene.pbrt import loads_pbrt
+
+    text = """
+    Film "image" "integer xresolution" [32] "integer yresolution" [32]
+    Camera "perspective" "float fov" [45]
+    WorldBegin
+    Texture "checks" "spectrum" "checkerboard"
+        "rgb tex1" [0.8 0.6 0.4] "float uscale" [4]
+    Material "matte" "texture Kd" "checks"
+    Shape "trianglemesh"
+        "integer indices" [0 1 2]
+        "point P" [-1 -1 0  1 -1 0  0 1 0]
+    LightSource "point" "rgb I" [10 10 10] "point from" [0 0 5]
+    WorldEnd
+    """
+    out = loads_pbrt(text)
+    mats = out.scene.materials
+    m = int(out.scene.tris.mat[0])
+    assert int(mats.tex_type[m]) == 1
+    assert float(mats.tex_scale[m]) == 4.0
+    np.testing.assert_allclose(np.asarray(mats.kd[m]), [0.8, 0.6, 0.4],
+                               rtol=1e-6)
