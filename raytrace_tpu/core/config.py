@@ -106,8 +106,11 @@ class RenderConfig:
     # differentiable path (the fixed-trip fori_loop stays full-batch).
     wavefront_compact: bool = True
     compact_queue: int = 0            # queue width; 0 = auto (max(8192, n/8))
-    compact_warm_steps: int = 4       # photon-walk full-width steps before
-                                      # the first compaction: survivors decay
+    compact_warm_steps: int = 0       # photon-walk full-width steps before
+                                      # the first compaction; 0 = auto (3 for
+                                      # small launches, 1 at ≥2^21 paths where
+                                      # each full-width step is an expensive
+                                      # incoherent intersect). Survivors decay
                                       # slowly (RR ≈ y(kd)/bounce), so
                                       # compacting too early splits the walk
                                       # into several full-depth queue batches

@@ -10,14 +10,17 @@ restores the two properties of the reference's per-ray OptiX Sbvh traversal
 lost, while keeping everything dense and gather-free for the TPU:
 
   1. EARLY TERMINATION → epoch-segmented culling. Rays advance through
-     geometrically growing t-windows [0,L), [L,4L), ... (L ≈ 2 cluster
-     extents). A cluster is assigned to the single epoch containing its
-     entry distance; a ray whose epoch-e best hit lands inside epoch e's
-     window is resolved and culls nothing afterwards. Front-to-back BVH
-     traversal with early exit, in wavefront form: measured on the
-     config[4] bounce population this alone cuts pair work ~6×
-     (tools/exp_epochs.py), because 89% of bounce rays hit and most hits
-     are near (the expensive grazing rays hit soonest).
+     geometrically growing t-windows anchored at their scene-entry
+     distance ([−∞, te+L0), [te+L0, ∞) at the default n_epochs=2;
+     L0 ≈ 2 cluster extents). A cluster is assigned to the single epoch
+     containing its entry distance; a ray whose epoch-e best hit lands
+     inside epoch e's window is resolved and culls nothing afterwards.
+     Front-to-back BVH traversal with early exit, in wavefront form:
+     89% of config[4] bounce rays hit, most in the first window
+     (tools/exp_epochs.py), so the first epoch resolves them and the
+     second pays almost nothing. TWO epochs measured best end-to-end
+     (1.70 s vs 2.17 s at 1M rays for +3% job count) — each extra epoch
+     re-pays the fixed cull+compaction cost for shrinking term gains.
   2. PER-RAY GRANULARITY → 32-ray subtiles. The cull still runs on dense
      [256-ray tile × cluster] blocks (cheap), but emits a PACKED 8-bit
      subtile bitmask per (tile, cluster) — which 32-ray subgroups actually
@@ -350,7 +353,7 @@ def intersect_epochs(
     clusters: ClusterSet,
     o: Array, d: Array, tmin: Array, tmax: Array,
     interpret: bool = False,
-    n_epochs: int = 3,
+    n_epochs: int = 2,
     budget_scale: float = 1.0,
     round_size: int = ROUND,
 ):

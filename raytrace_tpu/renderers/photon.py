@@ -443,7 +443,14 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k,
     # full-width steps first let the population decay below the queue width
     # so ONE batch finishes the tail. (The camera pass doesn't need this:
     # only specular hits survive bounce 0.)
-    warm = min(config.compact_warm_steps, config.max_photon_bounces - 1)
+    # 0 = auto: small launches warm 3 full-width steps (survivor decay is
+    # slow and queue batches re-walk to full depth), but at multi-million-
+    # path scale each full-width step is an expensive incoherent intersect
+    # — ONE warm step then the k-wide queue measured 38.5 s → 18.0 s at
+    # config[4] with identical deposits (the walks are equivalent
+    # estimators at any batching)
+    warm_cfg = config.compact_warm_steps or (3 if n < (1 << 21) else 1)
+    warm = min(warm_cfg, config.max_photon_bounces - 1)
     if warm > 1:
         rows_w = jnp.arange(n)
 

@@ -24,16 +24,73 @@ from raytrace_tpu.scene import presets
 from raytrace_tpu.scene.camera import generate_rays, pixel_samples
 
 
+def _fetch(out):
+    # the axon backend executes lazily; only a host fetch forces the run
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:2] if leaf.ndim else leaf)
+
+
 def bench(name, fn, *args, iters=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _fetch(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:28s} {dt * 1e3:9.2f} ms")
     return out, dt
+
+
+def grad_mode(args):
+    """--grad: stage-carved fwd+bwd timings of loss_and_grad (VERDICT r3
+    #3) — camera+direct-only gradient, forward-only, and the full thing."""
+    from raytrace_tpu.diff.render import (apply_params, extract_params,
+                                          loss_and_grad)
+    from raytrace_tpu.utils import film
+
+    size = args.size
+    config = RenderConfig(
+        width=size, height=size, spp=1, scene_epsilon=1e-3,
+        photon_paths=args.paths, photon_passes=1, max_photon_bounces=8,
+        footprint_radius_scale=8.0, differentiable=True,
+    )
+    scene, camera = presets.cornell_box(size=size, ball="glass")
+    ls = common.static_light_samples(scene, config)
+    params = extract_params(scene)
+    target = jnp.zeros((size, size, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def fwd_only(p):
+        sc = apply_params(scene, p)
+        img, _ = ph._render_photon(sc, camera, key, config, ls, False)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def grad_direct(p):
+        def loss(q):
+            sc = apply_params(scene, q)
+            k_pix, k_light, _ = jax.random.split(key, 3)
+            xy, lens = pixel_samples(k_pix, size, size, 1, jitter=False)
+            rays = generate_rays(camera, xy, lens, 1)
+            rec = common.camera_pass(sc, rays.o, rays.d, config, rays=rays)
+            direct = common.direct_lighting(
+                sc, rec, k_light, config, ls, include_emitted=True)
+            img = film.splat_box(
+                xy, jnp.where(rec.hit[:, None], rec.atten * direct, 0.0),
+                size, size)
+            return jnp.mean((img - target) ** 2)
+        return jax.grad(loss)(p)
+
+    full = jax.jit(lambda p: loss_and_grad.__wrapped__(
+        p, target, scene, camera, config, key, ls, False))
+
+    bench("diff fwd only", fwd_only, params, iters=3)
+    bench("camera+direct fwd+bwd", grad_direct, params, iters=3)
+    bench("FULL loss_and_grad", full, params, iters=3)
 
 
 def main():
@@ -41,7 +98,11 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--paths", type=int, default=262144)
     ap.add_argument("--no-compact", action="store_true")
+    ap.add_argument("--grad", action="store_true")
     args = ap.parse_args()
+    if args.grad:
+        grad_mode(args)
+        return
     size = args.size
 
     config = RenderConfig(
