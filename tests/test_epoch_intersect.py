@@ -120,6 +120,23 @@ class TestEpochIntersect:
         assert int(ovf) == 0
         _check(v0, v1, v2, t, idx, o, d, tmin, tmax, t_ref)
 
+    def test_epoch_count_invariance(self):
+        """Results must be identical at any window count — the epoch
+        partition is a pure work-scheduling choice."""
+        rng = np.random.default_rng(9)
+        v0, v1, v2 = _random_tris(500, rng)
+        cs = ci.build_clusters(v0, v1, v2, cluster_size=128)
+        o, d = _rays(192, rng)
+        tmin = np.full(192, 1e-3, np.float32)
+        tmax = np.full(192, BIG, np.float32)
+        t2, _, _, _ = _run(cs, o, d, tmin, tmax, n_epochs=2)
+        t1, _, _, _ = _run(cs, o, d, tmin, tmax, n_epochs=1)
+        t4, _, _, _ = _run(cs, o, d, tmin, tmax, n_epochs=4)
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t1),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t4),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_matches_cluster_engine(self):
         rng = np.random.default_rng(3)
         v0, v1, v2 = _random_tris(600, rng)
