@@ -70,6 +70,7 @@ def main(argv=None) -> None:
         photon_paths=args.photon_paths, photon_passes=args.passes,
         seed=args.seed,
         footprint_radius_scale=args.footprint_radius_scale,
+        pixel_filter=parsed.pixel_filter,
     )
     key = jax.random.PRNGKey(args.seed)
     which = args.renderer

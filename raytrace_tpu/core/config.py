@@ -30,6 +30,12 @@ class RenderConfig:
     shadow_epsilon: float = 1e-3      # shadow ray [eps, 1-eps] on unnormalized dir
     seed: int = 777                   # reference cuRAND default seed
     max_light_samples: int = 4        # static cap on per-light nSamples
+    pixel_filter: str = "box"         # film reconstruction filter: "box" |
+                                      # "triangle" | "gaussian" (the
+                                      # reference splats through pbrt's
+                                      # PixelFilter; utils/film.splat)
+    filter_radius: float = 0.0        # 0 = the filter's pbrt default
+                                      # (box 0.5, triangle/gaussian 2)
 
     # -- camera-pass specular chains -------------------------------------
     max_specular_depth: int = 10      # camera-ray specular bounce cap
@@ -81,6 +87,10 @@ class RenderConfig:
     # clamped to [4, 16]; r_max is the per-tile (z, y)-row budget.
     gather_rounds: int = 0
     gather_r_max: int = 64
+    gather_job_budget: int = 0        # per-round rowspan job capacity; 0 =
+                                      # the SMEM-bound default 2^17. Tests
+                                      # shrink it to force (now unbiased)
+                                      # overflow at small scale
                                       # (photon_grid.gather_radius_dense) —
                                       # no per-cell truncation; the oracle
                                       # setting for parity tests and small
@@ -94,6 +104,12 @@ class RenderConfig:
                                       # raise for huge scenes with incoherent
                                       # rays so truncated pairs (clean
                                       # misses, counted) stay at zero
+    intersect_budget_scale: float = 1.0  # epoch-engine pair/subpair budget
+                                      # multiplier (epoch_intersect._budgets)
+                                      # — the documented remediation when
+                                      # aux pair_overflow > 0 under the
+                                      # epoch engine (ADVICE r4: was
+                                      # unreachable from a renderer config)
 
     # -- wavefront compaction ----------------------------------------------
     # After the first full-batch bounce, the specular-chain and photon walks

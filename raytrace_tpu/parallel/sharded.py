@@ -92,6 +92,7 @@ def _radiance_shard(
         radius2=photon_renderer.initial_radius2(rec, config),
         photon_count=jnp.zeros((n_local,), jnp.float32),
         flux=jnp.zeros((n_local, 3), jnp.float32),
+        emitted=jnp.zeros((n_local,), jnp.float32),
     )
 
     paths_local = max(1, config.photon_paths // n_chips)
@@ -185,7 +186,8 @@ def _render_sharded_jit(
         check_vma=False,
     )
     L = shard_fn(scene, camera, xy, lens, k_render)
-    return film.splat_box(xy, L, config.width, config.height)
+    return film.splat(xy, L, config.width, config.height,
+                      config.pixel_filter, config.filter_radius)
 
 
 def train_step_sharded(

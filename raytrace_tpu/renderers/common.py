@@ -176,6 +176,7 @@ def _camera_pass_impl(scene, o, d, config, rays, return_aux, record):
         tmin = jnp.full((n,), eps)
         hit = isect_ops.intersect(scene, o, d, tmin, jnp.full((n,), BIG),
                                   rounds=config.intersect_rounds,
+                                  budget_scale=config.intersect_budget_scale,
                                   coherent=True)
         ovf = ovf + hit.pair_overflow
         spec = mat_ops.is_specular(scene.materials, hit.mat)
@@ -218,11 +219,15 @@ def _camera_pass_impl(scene, o, d, config, rays, return_aux, record):
         d2 = jnp.where(spec_hit[:, None], wi, d)
         atten2 = jnp.where(spec_hit[:, None], atten * thr, atten)
         if record:
+            # record only bounces whose atten factor contains kd (mirror;
+            # glass thr is ones — see mat_ops.kd_in_specular)
+            rec_m = spec_hit & mat_ops.kd_in_specular(
+                scene.materials, hit.mat)
             chain, cptr = rec_st
             col = jnp.clip(cptr, 0, DS - 1)
             chain = chain.at[rows, col].set(
-                jnp.where(spec_hit, hit.mat, chain[rows, col]))
-            rec_st = (chain, cptr + spec_hit.astype(jnp.int32))
+                jnp.where(rec_m, hit.mat, chain[rows, col]))
+            rec_st = (chain, cptr + rec_m.astype(jnp.int32))
         return depth + 1, spec_hit, o2, d2, atten2, rec, ovf, rec_st
 
     rec_st0 = ((jnp.full((n, DS), -1, jnp.int32),
@@ -274,6 +279,7 @@ def _camera_pass_compact(
     hit = isect_ops.intersect(
         scene, o, d, jnp.full((n,), eps), jnp.full((n,), BIG),
         rounds=config.intersect_rounds, coherent=True,
+        budget_scale=config.intersect_budget_scale,
     )
     ovf0 = hit.pair_overflow
     spec = mat_ops.is_specular(scene.materials, hit.mat)
@@ -310,7 +316,8 @@ def _camera_pass_compact(
     atten = w(spec_hit, thr, jnp.ones((n, 3), jnp.float32))
     active = spec_hit
     if record:
-        chain = chain.at[:, 0].set(jnp.where(spec_hit, hit.mat, -1))
+        rec_m0 = spec_hit & mat_ops.kd_in_specular(scene.materials, hit.mat)
+        chain = chain.at[:, 0].set(jnp.where(rec_m0, hit.mat, -1))
 
     # ---- batches of ≤ k survivors, each walked to completion --------------
     max_batches = -(-n // k)
@@ -328,6 +335,7 @@ def _camera_pass_compact(
         hit = isect_ops.intersect(
             scene, o_k, d_k, jnp.full((k,), eps), jnp.full((k,), BIG),
             rounds=config.intersect_rounds, coherent=True,
+            budget_scale=config.intersect_budget_scale,
         )
         ovf_k = ovf_k + hit.pair_overflow
         spec = mat_ops.is_specular(scene.materials, hit.mat)
@@ -351,11 +359,12 @@ def _camera_pass_compact(
         d_k = wk(spec_k, wi2, d_k)
         atten_k = wk(spec_k, atten_k * thr, atten_k)
         if record:
+            rec_m = spec_k & mat_ops.kd_in_specular(scene.materials, hit.mat)
             ch_k, cp_k = rec_k
             col = jnp.clip(cp_k, 0, DS - 1)
             ch_k = ch_k.at[krows, col].set(
-                jnp.where(spec_k, hit.mat, ch_k[krows, col]))
-            rec_k = (ch_k, cp_k + spec_k.astype(jnp.int32))
+                jnp.where(rec_m, hit.mat, ch_k[krows, col]))
+            rec_k = (ch_k, cp_k + rec_m.astype(jnp.int32))
         return (bounce + 1, spec_k, o_k, d_k, atten_k, st_k, rk, ovf_k,
                 rec_k)
 
@@ -478,6 +487,7 @@ def direct_lighting(
             jnp.full((n,), eps, jnp.float32),
             jnp.full((n,), 1.0 - eps, jnp.float32),
             rounds=config.intersect_rounds, coherent=True,
+            budget_scale=config.intersect_budget_scale,
         )
         wi = vec.normalize(uwi)
         fr = mat_ops.f(scene.materials, rec.mat, wo, wi, uv=rec.uv)

@@ -51,12 +51,16 @@ def _render_simple(
     )
     rays = generate_rays(camera, xy, lens, config.spp)
 
-    # single-bounce camera pass: reuse the shared wavefront pass with a
-    # specular cap of 0 so specular hits flag exception → black, like the
-    # simple kernel has no specular path at all (simplerender.cu:47-78)
-    cfg = config
-    rec = common.camera_pass(scene, rays.o, rays.d, cfg)
+    # Camera pass with specular chains followed to the cap, then direct
+    # lighting at the first diffuse hit weighted by the chain throughput
+    # rec.atten — the oracle's render_direct semantics. (The reference's
+    # simple kernel has no specular path at all, simplerender.cu:47-78 —
+    # a mirror renders black there; following the chain is the documented
+    # capability upgrade, and matches the photon renderer's camera pass.)
+    rec = common.camera_pass(scene, rays.o, rays.d, config)
     L = common.direct_lighting(
-        scene, rec, k_light, cfg, light_samples, include_emitted=False
+        scene, rec, k_light, config, light_samples, include_emitted=False
     )
-    return film.splat_box(xy, L, config.width, config.height)
+    L = rec.atten * L
+    return film.splat(xy, L, config.width, config.height,
+                      config.pixel_filter, config.filter_radius)

@@ -103,10 +103,16 @@ class SceneBuilder:
         material: Optional[int] = None,
         object_to_world: Optional[np.ndarray] = None,
         light: int = -1,
+        reverse_orientation: bool = False,
         _sink: Optional[list] = None,
     ):
         """World-space triangle mesh. Vertices are pre-transformed to world
-        exactly like pbrt does for the reference (cudatrianglemesh.cpp:28-31)."""
+        exactly like pbrt does for the reference (cudatrianglemesh.cpp:28-31).
+
+        reverse_orientation (pbrt ReverseOrientation): flips the geometric
+        normal by swapping the winding (v1↔v2 with their uvs — the p(u,v)
+        map and hence dpdu are unchanged) and negates supplied shading
+        normals, matching pbrt's normal-flip-only semantics."""
         o2w = tr.identity() if object_to_world is None else object_to_world
         v = tr.apply_point(o2w, np.asarray(vertices, np.float64))
         idx = np.asarray(indices, np.int64).reshape(-1, 3)
@@ -114,6 +120,10 @@ class SceneBuilder:
             n = tr.apply_normal(o2w, np.asarray(normals, np.float64))
         else:
             n = None
+        if reverse_orientation:
+            idx = idx[:, [0, 2, 1]]
+            if n is not None:
+                n = -n
         rec = dict(
             v=v, idx=idx, n=n,
             uv=None if uvs is None else np.asarray(uvs, np.float64),
@@ -128,16 +138,18 @@ class SceneBuilder:
         material: Optional[int] = None,
         object_to_world: Optional[np.ndarray] = None,
         light: int = -1,
+        reverse_orientation: bool = False,
         _sink: Optional[list] = None,
     ):
         """Full sphere in object space behind an o2w transform
         (reference: cudasphere.cpp:16-40; zmin/zmax/phiMax clipping is dropped
-        there too)."""
+        there too). reverse_orientation flips normals at the hit (pbrt
+        ReverseOrientation)."""
         o2w = tr.identity() if object_to_world is None else object_to_world
         rec = dict(
             o2w=np.asarray(o2w, np.float64), radius=float(radius),
             mat=self.default_material() if material is None else material,
-            light=light,
+            light=light, flip=bool(reverse_orientation),
         )
         (self._spheres if _sink is None else _sink).append(("sphere", rec))
 
@@ -150,16 +162,19 @@ class SceneBuilder:
         material: Optional[int] = None,
         object_to_world: Optional[np.ndarray] = None,
         light: int = -1,
+        reverse_orientation: bool = False,
         _sink: Optional[list] = None,
     ):
-        """Disk pre-flattened to a world frame (reference: cudadisk.cpp:23-43)."""
+        """Disk pre-flattened to a world frame (reference: cudadisk.cpp:23-43).
+        reverse_orientation negates the world z (normal) — the plane
+        equation is sign-invariant, only the reported normal flips."""
         o2w = tr.identity() if object_to_world is None else object_to_world
         rec = dict(
             o2w=np.asarray(o2w, np.float64), height=float(height),
             radius=float(radius), inner_radius=float(inner_radius),
             phi_max=math.radians(phi_max_deg),
             mat=self.default_material() if material is None else material,
-            light=light,
+            light=light, flip=bool(reverse_orientation),
         )
         (self._disks if _sink is None else _sink).append(("disk", rec))
 
@@ -225,16 +240,22 @@ class SceneBuilder:
         object_to_world: Optional[np.ndarray] = None,
         n_samples: int = 1,
         material: Optional[int] = None,
+        reverse_orientation: bool = False,
     ) -> int:
         """Diffuse area light over a disk. Adds both the light-table entry
         (reference: cudalight.cpp:26-59) and the emitting disk geometry
-        carrying the light index (reference: cudarender.cpp:193)."""
+        carrying the light index (reference: cudarender.cpp:193).
+        reverse_orientation flips the one-sided emission hemisphere (pbrt:
+        ReverseOrientation on an area light's shape flips which side
+        emits)."""
         o2w = tr.identity() if object_to_world is None else object_to_world
         worldo = tr.apply_point(o2w, np.array([0.0, 0.0, height]))
         worldx = tr.apply_vector(o2w, np.array([radius, 0.0, 0.0]))
         worldy = tr.apply_vector(o2w, np.array([0.0, radius, 0.0]))
         normal = np.cross(worldx, worldy)
         normal = normal / np.linalg.norm(normal)
+        if reverse_orientation:
+            normal = -normal
         # pbrt Disk::Area() = phiMax*0.5*(radius²-innerRadius²) in OBJECT space
         area = math.pi * radius * radius
         light_idx = len(self._lights)
@@ -245,7 +266,8 @@ class SceneBuilder:
             n_samples=int(n_samples),
         ))
         self.disk(height=height, radius=radius, object_to_world=o2w,
-                  material=material, light=light_idx)
+                  material=material, light=light_idx,
+                  reverse_orientation=reverse_orientation)
         return light_idx
 
     # -- build -----------------------------------------------------------------
@@ -360,7 +382,7 @@ class SceneBuilder:
     def _build_spheres(self) -> Spheres:
         if not self._spheres:
             return empty_spheres()
-        o2ws, w2os, radii, mats, lgs = [], [], [], [], []
+        o2ws, w2os, radii, mats, lgs, flips = [], [], [], [], [], []
         for _, rec in self._spheres:
             o2w = rec["o2w"]
             o2ws.append(tr.to_affine34(o2w))
@@ -368,12 +390,14 @@ class SceneBuilder:
             radii.append(rec["radius"])
             mats.append(rec["mat"])
             lgs.append(rec["light"])
+            flips.append(rec.get("flip", False))
         return Spheres(
             o2w=jnp.asarray(np.stack(o2ws).astype(_F32)),
             w2o=jnp.asarray(np.stack(w2os).astype(_F32)),
             radius=jnp.asarray(np.asarray(radii, _F32)),
             mat=jnp.asarray(np.asarray(mats, np.int32)),
             light=jnp.asarray(np.asarray(lgs, np.int32)),
+            flip=jnp.asarray(np.asarray(flips, bool)),
         )
 
     def _build_disks(self) -> Disks:
@@ -387,6 +411,8 @@ class SceneBuilder:
             worldy = tr.apply_vector(o2w, np.array([0.0, rec["radius"], 0.0]))
             worldz = tr.apply_vector(o2w, np.array([0.0, 0.0, 1.0]))
             worldz = worldz / np.linalg.norm(worldz)
+            if rec.get("flip", False):  # pbrt ReverseOrientation
+                worldz = -worldz
             os_.append(worldo); xs.append(worldx); ys.append(worldy); zs.append(worldz)
             moffs.append(float(np.dot(worldo, worldz)))
             invr2s.append([1.0 / np.dot(worldx, worldx), 1.0 / np.dot(worldy, worldy)])

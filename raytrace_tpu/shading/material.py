@@ -58,6 +58,17 @@ def is_specular(materials: Materials, mat: Array) -> Array:
     return ((mt == MIRROR) | (mt == GLASS)) & (mat >= 0)
 
 
+def kd_in_specular(materials: Materials, mat: Array) -> Array:
+    """True where the SPECULAR throughput multiplies by the material's kd row
+    (mirror: Kr is stored in kd). Glass throughput is parameter-free —
+    `specular()` returns ones for it — so glass bounces must contribute NO
+    kd factor to the record-and-replay AD chain: recording them would make
+    the replay ratio sg(alpha)·Πkd/sg(Πkd) report a spurious nonzero
+    d(alpha)/d(kd[glass]) where the true gradient is exactly 0."""
+    mt = materials.mtype[jnp.maximum(mat, 0)]
+    return (mt == MIRROR) & (mat >= 0)
+
+
 def pdf_lambert(wo_local: Array, wi_local: Array) -> Array:
     """(reference: cudamaterial.cu.h:44-47)"""
     same_hemi = wo_local[..., 2] * wi_local[..., 2] > 0.0

@@ -26,6 +26,9 @@ def save_progressive(path: str, state, next_pass: int, key,
                      emitted_photons: float = 0.0) -> None:
     """Write a PPM wave checkpoint atomically (tmp + rename)."""
     tmp = path + ".tmp"
+    extra = {}
+    if getattr(state, "emitted", None) is not None:
+        extra["emitted"] = np.asarray(state.emitted)
     np.savez(
         tmp,
         version=np.int32(_FORMAT_VERSION),
@@ -35,6 +38,7 @@ def save_progressive(path: str, state, next_pass: int, key,
         next_pass=np.int32(next_pass),
         key=np.asarray(key),
         emitted_photons=np.float64(emitted_photons),
+        **extra,
     )
     # np.savez appends .npz to the filename it's given
     os.replace(tmp + ".npz", path)
@@ -53,6 +57,8 @@ def load_progressive(path: str):
             radius2=jnp.asarray(z["radius2"]),
             photon_count=jnp.asarray(z["photon_count"]),
             flux=jnp.asarray(z["flux"]),
+            emitted=(jnp.asarray(z["emitted"])
+                     if "emitted" in z.files else None),
         )
         return (state, int(z["next_pass"]), np.array(z["key"]),
                 float(z["emitted_photons"]))

@@ -340,3 +340,139 @@ def test_in_view_occluder_combined_boundary_gradient():
     )
     # the primary term must be doing real work: shadow-only is NOT enough
     assert abs(fd - ad) < abs(fd - ad_shadow_only), (fd, ad, ad_shadow_only)
+
+
+# ---------------------------------------------------------------------------
+# Multi-DOF Jacobian-product API (VERDICT r4 #5a)
+# ---------------------------------------------------------------------------
+
+QUAD_FACES = np.array([[0, 1, 2], [0, 2, 3]])
+
+
+DOF_LIGHT = (4.0, 1.3, 6.0)  # off the y-axis: both DOFs get a nonzero,
+                             # non-degenerate gradient (a y-symmetric setup
+                             # makes the true y-derivative ~0 at theta=0)
+
+
+def _dof_scene_parts():
+    base = _occ_corners(0.0)
+    # DOF 0: rigid x-translation; DOF 1: rigid y-translation
+    vel = np.zeros((2, 4, 3), np.float64)
+    vel[0, :, 0] = 1.0
+    vel[1, :, 1] = 1.0
+
+    def build_scene(verts):
+        b = SceneBuilder()
+        floor = b.matte((0.7, 0.7, 0.7))
+        occ = b.matte((0.3, 0.3, 0.3))
+        v, i = np.array([[-8, -8, 0], [8, -8, 0], [8, 8, 0], [-8, 8, 0]],
+                        np.float64), np.array([[0, 1, 2], [0, 2, 3]])
+        b.triangle_mesh(v, i, material=floor)
+        b.triangle_mesh(np.asarray(verts), QUAD_FACES, material=occ)
+        b.point_light(DOF_LIGHT, (120.0, 120.0, 120.0))
+        return b.build()
+
+    return base, vel, build_scene
+
+
+def test_jacobian_gradient_matches_fd_per_dof():
+    """Each component of the multi-DOF boundary gradient must match central
+    differences of the full jittered render."""
+    from raytrace_tpu.diff.edges import jacobian_loss_and_grad
+
+    cam = _camera()
+    config = RenderConfig(width=SIZE, height=SIZE, spp=SPP,
+                          scene_epsilon=1e-3)
+    base, vel, build_scene = _dof_scene_parts()
+    target = jnp.zeros((SIZE, SIZE, 3), jnp.float32)
+
+    _, g, _ = jacobian_loss_and_grad(
+        np.zeros(2), vel, base, QUAD_FACES, build_scene, cam, config,
+        target, KEY, samples_per_edge=256, jitter=True,
+    )
+    g = np.asarray(g)
+
+    def loss_at(th):
+        from raytrace_tpu.renderers.simple import render_simple
+
+        verts = base + th[0] * vel[0] + th[1] * vel[1]
+        img = render_simple(build_scene(verts), cam, config, KEY,
+                            jitter=True)
+        return float(jnp.mean(img ** 2))
+
+    h = 0.06
+    for d in range(2):
+        e = np.zeros(2)
+        e[d] = h
+        fd = (loss_at(e) - loss_at(-e)) / (2 * h)
+        assert abs(fd) > 1e-6, f"DOF {d}: loss insensitive"
+        assert np.sign(fd) == np.sign(g[d]), (d, fd, g[d])
+        assert abs(fd - g[d]) <= 0.3 * max(abs(fd), abs(g[d])), (d, fd, g[d])
+
+
+def test_recover_two_dofs():
+    """≥2-DOF recovery: both occluder offsets recovered from the target
+    shadow using only boundary gradients."""
+    from raytrace_tpu.diff.edges import jacobian_loss_and_grad, recover_dofs
+
+    cam = _camera()
+    config = RenderConfig(width=SIZE, height=SIZE, spp=16,
+                          scene_epsilon=1e-3)
+    base, vel, build_scene = _dof_scene_parts()
+    img_target = None
+    from raytrace_tpu.renderers.simple import render_simple
+
+    img_target = render_simple(build_scene(base), cam, config, KEY,
+                               jitter=True)
+
+    th0 = np.array([0.35, -0.3])
+    th_hat, losses = recover_dofs(
+        th0, vel, base, QUAD_FACES, build_scene, cam, config, img_target,
+        KEY, steps=26, lr=0.4, samples_per_edge=128,
+    )
+    err0 = np.linalg.norm(th0)
+    err1 = np.linalg.norm(th_hat)
+    assert err1 < 0.35 * err0, (th0, th_hat, losses)
+
+
+def test_boundary_gradient_with_photon_gi_matches_fd():
+    """VERDICT r4 #5b: the boundary estimator's ΔL is the DIRECT-light jump;
+    with the photon (GI) renderer in the loop the finite-difference gradient
+    additionally contains (1) the smooth change of indirect flux as the
+    occluder moves and (2) any indirect jump across the boundary. For
+    diffuse GI both are small — the indirect field is C0-continuous across
+    a direct shadow boundary (a hemispherical integral over the photon
+    map), and its θ-derivative is volume-distributed rather than
+    boundary-concentrated. This test MEASURES that: the direct-only
+    boundary gradient must match the full-GI FD within 35%."""
+    from raytrace_tpu.renderers.photon import render_photon
+
+    cam = _camera()
+    config = RenderConfig(
+        width=SIZE, height=SIZE, spp=16, scene_epsilon=1e-3,
+        photon_paths=8192, max_photon_depth=4, max_photon_bounces=8,
+        initial_radius2=0.25,
+    )
+
+    wmat = jax.random.uniform(jax.random.PRNGKey(3), (SIZE, SIZE, 3))
+
+    def loss_at(theta):
+        img = render_photon(_scene(theta), cam, config, KEY, jitter=True)
+        return float(jnp.mean(img * wmat))
+
+    h = 0.08
+    fd = (loss_at(+h) - loss_at(-h)) / (2 * h)
+
+    scene0 = _scene(0.0)
+    e0, e1 = quad_boundary_edges(_occ_corners(0.0))
+    dimg = shadow_boundary_image_grad(
+        scene0, cam, config, e0, e1, jnp.asarray([1.0, 0.0, 0.0]),
+        samples_per_edge=256,
+    )
+    ad = float(jnp.mean(dimg * wmat))
+
+    assert abs(fd) > 1e-5, "shadow must move the loss"
+    assert np.sign(fd) == np.sign(ad), (fd, ad)
+    # the residual IS the (smooth, uncaptured) indirect θ-dependence —
+    # measured ≤ 35% of the boundary term on this BASELINE-style scene
+    assert abs(fd - ad) <= 0.35 * max(abs(fd), abs(ad)), (fd, ad)

@@ -515,3 +515,52 @@ def test_pallas_rowspan_multiround_exact_and_grad():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_rowspan_covered_flag_contract():
+    """return_covered: queries in completely-scanned tiles are flagged True
+    and match the dense gather exactly; flagged-False queries return
+    L = 0 / M = 0. With enough budget every query is covered."""
+    from raytrace_tpu.ops import pallas_gather as pg_pallas
+    from raytrace_tpu.ops import photon_grid as pg
+
+    rng = np.random.default_rng(23)
+    P, N = 4096, 512
+    p = rng.uniform(-4, 4, (P, 3)).astype(np.float32)
+    alpha = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    wi = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (P, 1))
+    qp = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    r2 = np.full(N, 0.25, np.float32)
+    ns = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (N, 1))
+    kd = np.full((N, 3), 0.3, np.float32)
+    args = (jnp.asarray(p), jnp.asarray(alpha), jnp.asarray(wi),
+            jnp.ones((P,), bool), 0.5, jnp.asarray(qp), jnp.asarray(r2),
+            jnp.asarray(ns), jnp.asarray(kd))
+
+    photons = pg.PhotonMap(p=args[0], alpha=args[1], wi=args[2],
+                           valid=args[3])
+    L_ref, m_ref = pg.gather_radius_dense(
+        photons, args[5], args[6], args[7], args[8])
+
+    L, m, ovf, cov = pg_pallas.gather_radius_pallas_rowspan(
+        *args, interpret=True, chunk=128, job_budget=64,
+        return_covered=True,
+    )
+    cov = np.asarray(cov)
+    assert int(ovf) > 0
+    assert cov.any() and (~cov).any()
+    np.testing.assert_allclose(np.asarray(L)[cov], np.asarray(L_ref)[cov],
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m)[cov],
+                                  np.asarray(m_ref)[cov])
+    assert np.all(np.asarray(L)[~cov] == 0.0)
+    assert np.all(np.asarray(m)[~cov] == 0)
+
+    L2, m2, ovf2, cov2 = pg_pallas.gather_radius_pallas_rowspan(
+        *args, interpret=True, chunk=128, rounds=4,
+        return_covered=True,
+    )
+    assert int(ovf2) == 0
+    assert np.asarray(cov2).all()
+    np.testing.assert_allclose(np.asarray(L2), np.asarray(L_ref),
+                               rtol=2e-4, atol=1e-5)
