@@ -67,8 +67,25 @@ TILE_GROUP = 8      # cull tiles per kernel step (sublane-divisible output)
 # Stage A: dense cull → packed subtile bitmask
 # ---------------------------------------------------------------------------
 
-def _cull_kernel(o_ref, d_ref, tmin_ref, tbest_ref, w0_ref, w1_ref,
+def _cull_kernel(nlg_ref, o_ref, d_ref, tmin_ref, tbest_ref, w0_ref, w1_ref,
                  cmin_ref, cmax_ref, out_ref):
+    # live-prefix gate: rays are sorted dead-last (empty t-window →
+    # 0xFFFFFFFF sort key), so tile groups past the live prefix hold ONLY
+    # dead rays — skip their slab tests entirely and emit zero masks. A
+    # late queue-batch bounce with 10% live lanes then pays ~10% of the
+    # dense cull compute (the cull is compute-bound at ~50 flops/element).
+    @pl.when(pl.program_id(0) >= nlg_ref[0])
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(pl.program_id(0) < nlg_ref[0])
+    def _():
+        _cull_kernel_body(o_ref, d_ref, tmin_ref, tbest_ref, w0_ref,
+                          w1_ref, cmin_ref, cmax_ref, out_ref)
+
+
+def _cull_kernel_body(o_ref, d_ref, tmin_ref, tbest_ref, w0_ref, w1_ref,
+                      cmin_ref, cmax_ref, out_ref):
     r = lambda a: a[:, None]
     c = lambda a: a[None, :]
     for g in range(TILE_GROUP):
@@ -113,7 +130,7 @@ CULL_CHUNK = 2048
 
 
 def _cull_bits(clusters, oT, dT, tminP, tbestP, w0P, w1P, n_tiles,
-               interpret):
+               interpret, n_live_groups=None):
     cp = clusters.cmin.shape[0]
     chunk = min(CULL_CHUNK, cp)
     cpad = -cp % chunk
@@ -123,6 +140,13 @@ def _cull_bits(clusters, oT, dT, tminP, tbestP, w0P, w1P, n_tiles,
                     constant_values=jnp.float32(-BIG))
     cpp = cp + cpad
     gr = TILE_GROUP * TILE
+    n_groups = n_tiles // TILE_GROUP
+    if n_live_groups is None:
+        nlg = jnp.full((1,), n_groups, jnp.int32)
+    else:
+        nlg = jnp.minimum(n_live_groups, n_groups).reshape(1).astype(
+            jnp.int32)
+    smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
     ray3 = pl.BlockSpec((3, gr), lambda i, j: (0, i),
                         memory_space=pltpu.VMEM)
     ray1 = pl.BlockSpec((1, gr), lambda i, j: (0, i),
@@ -133,12 +157,12 @@ def _cull_bits(clusters, oT, dT, tminP, tbestP, w0P, w1P, n_tiles,
                        memory_space=pltpu.VMEM)
     bits = pl.pallas_call(
         _cull_kernel,
-        grid=(n_tiles // TILE_GROUP, cpp // chunk),
-        in_specs=[ray3, ray3, ray1, ray1, ray1, ray1, cl3, cl3],
+        grid=(n_groups, cpp // chunk),
+        in_specs=[smem1, ray3, ray3, ray1, ray1, ray1, ray1, cl3, cl3],
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((n_tiles, cpp), jnp.int32),
         interpret=interpret,
-    )(oT, dT, tminP, tbestP, w0P, w1P, cminT, cmaxT)
+    )(nlg, oT, dT, tminP, tbestP, w0P, w1P, cminT, cmaxT)
     return bits[:, :cp]
 
 
@@ -324,24 +348,114 @@ def _budgets(n_rays: int, n_tiles: int, cp: int, scale: float,
     return pb, max(spb, round_size)
 
 
+def _rank_bit(word, r, nbits: int):
+    """Elementwise position of the r-th (0-based) set bit of `word`
+    (int32/uint32, low nbits). Fully fused VPU code — the run-expansion
+    compaction's inner lookup."""
+    pos = jnp.zeros_like(r)
+    for k in range(nbits):
+        below = jax.lax.population_count(
+            word & jnp.uint32((1 << k) - 1)).astype(jnp.int32)
+        here = ((word >> k) & 1).astype(jnp.int32) > 0
+        pos = jnp.where(here & (below == r), k, pos)
+    return pos
+
+
+def _run_expand(offsets, total, width: int):
+    """Run-id per output slot from run start `offsets` [R+1]: slot j maps to
+    the run r with offsets[r] <= j < offsets[r+1], for j < total. By
+    scatter-ones + cumsum (a width-sized searchsorted measured 20× slower
+    at 8.5M, see the alignment stage below)."""
+    marks = jnp.zeros((width,), jnp.int32).at[offsets[1:-1]].add(
+        1, mode="drop")
+    return jnp.cumsum(marks)
+
+
+W_PACK = 32  # mask word width for the two-level pair compaction
+# Flat-mask size at which the word-packed pair compaction beats sorting the
+# full mask. Measured on TPU v5e (tools/ab_compact.py + stage profile): a
+# 16.8M-element mask sorts in ~60 ms — cheaper than the word scheme's
+# budget-bound run-expansion+gathers (~200 ms) — but the sort scales
+# linearly (134M at BASELINE config[4] ≈ 500 ms/epoch) while the word
+# scheme stays budget-bound, so big masks switch over.
+WORD_COMPACT_MIN_M = 1 << 25
+
+
+def _compact_pairs_word(flatT, n_tiles, cp, PB):
+    """Word-packed pair compaction: pack the mask's nonzero flags into
+    32-bit words (elementwise), sort only the SET-WORD ids (mask/32
+    elements), then expand words → pairs by popcount-prefix run-expansion
+    + an elementwise r-th-set-bit lookup (_rank_bit). Order (ascending
+    flat = cluster-major) is preserved by construction. Returns
+    (pair_safe [PB], pbits [PB], pvalid [PB])."""
+    MAXI = jnp.int32(2**31 - 1)
+    M = cp * n_tiles
+    nz = flatT != 0
+    pad = -M % W_PACK
+    nzp = jnp.pad(nz, (0, pad))
+    NW = (M + pad) // W_PACK
+    wbits = jnp.sum(
+        nzp.reshape(NW, W_PACK).astype(jnp.uint32)
+        << jnp.arange(W_PACK, dtype=jnp.uint32)[None, :],
+        axis=1,
+    )
+    WB = min(PB, NW)  # word budget: words_set ≤ pairs_set ≤ PB coverage
+    vals_w = jnp.where(wbits != 0, jnp.arange(NW, dtype=jnp.int32), MAXI)
+    widx = jax.lax.sort(vals_w)[:WB]
+    n_words = jnp.minimum(jnp.sum((wbits != 0).astype(jnp.int32)), WB)
+    widx_safe = jnp.minimum(widx, NW - 1)
+    wsel = jnp.where(jnp.arange(WB) < n_words, wbits[widx_safe],
+                     jnp.uint32(0))
+
+    wcnt = jax.lax.population_count(wsel).astype(jnp.int32)
+    woff = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(wcnt).astype(jnp.int32)])
+    n_pairs_c = jnp.minimum(woff[-1], PB)
+    j = jnp.arange(PB, dtype=jnp.int32)
+    w_of_j = jnp.clip(_run_expand(woff, n_pairs_c, PB), 0, WB - 1)
+    # ONE fused row gather for the three per-word streams (three separate
+    # PB-sized gathers measured ~66 ms EACH on TPU — gathers, not the
+    # sort, are what made the naive form lose)
+    wrow = jnp.stack(
+        [wsel.astype(jnp.int32), woff[:-1], widx_safe], axis=1)  # [WB, 3]
+    g = wrow[w_of_j]  # [PB, 3]
+    bw = g[:, 0].astype(jnp.uint32)
+    r = j - g[:, 1]
+    pvalid = (j < n_pairs_c) & (r < jax.lax.population_count(
+        bw).astype(jnp.int32))
+    pos = _rank_bit(bw, r, W_PACK)
+    pair_idx = jnp.where(pvalid, g[:, 2] * W_PACK + pos, MAXI)
+    pair_safe = jnp.minimum(pair_idx, M - 1)
+    pbits = jnp.where(pvalid, flatT[pair_safe], 0)
+    return pair_safe, pbits, pvalid
+
+
 def _sort_key(clusters, o, d, tmax, tmin):
-    """Ray-coherence sort key: origin Morton cell (64³ over the cluster
-    bounds) then direction octant. Dead rays (empty window) go last."""
+    """Ray-coherence sort key: origin Morton cell (32³ over the cluster
+    bounds) then a FINE direction Morton (16³ over [-1,1]³, 12 bits —
+    whose MSBs are the sign octant). Dead rays (empty window) go last.
+
+    The direction bits matter enormously for common-origin launches
+    (photon EMISSION from a point light: every origin identical, so the
+    old 3-bit octant left each 256-ray tile spanning an eighth of the
+    sphere — the tile's cluster union was the whole scene slice. The
+    config[4] emission intersect alone measured 8.1 s of the 12.7 s
+    trace before this; fine direction sorting makes emission tiles tight
+    cones, the same property the round-3 tile engine exploits for camera
+    rays)."""
     from raytrace_tpu.ops import photon_grid as pg
 
     smin = jnp.min(clusters.cmin, axis=0)
     smax = jnp.max(clusters.cmax, axis=0)
-    ext = jnp.maximum(smax - smin, 1e-6) / 64.0
+    ext = jnp.maximum(smax - smin, 1e-6) / 32.0
     ocell = jnp.clip(
         jnp.floor((o - smin[None, :]) / ext[None, :]).astype(jnp.int32),
-        0, 63,
+        0, 31,
     )
-    octant = (
-        (d[:, 0] > 0).astype(jnp.uint32) * 4
-        + (d[:, 1] > 0).astype(jnp.uint32) * 2
-        + (d[:, 2] > 0).astype(jnp.uint32)
+    dcell = jnp.clip(
+        jnp.floor((d + 1.0) * 8.0).astype(jnp.int32), 0, 15
     )
-    key = (pg.morton3(ocell) << 3) | octant
+    key = (pg.morton3(ocell) << 12) | pg.morton3(dcell)
     return jnp.where(tmax > tmin, key, jnp.uint32(0xFFFFFFFF))
 
 
@@ -410,6 +524,12 @@ def intersect_epochs(
     t_enter = jnp.max(jnp.minimum(t0, t1), axis=1)
     t_enter = jnp.maximum(t_enter, tmin_p)
 
+    # live-prefix group count for the cull gate: dead lanes (empty
+    # t-window — masked-out queue lanes, padding) sort last, so tile
+    # groups past ceil(n_live/2048) are all-dead and the cull skips them
+    n_live = jnp.sum((tmax_p > tmin_p).astype(jnp.int32))
+    n_live_groups = -(-n_live // (TILE * TILE_GROUP))
+
     PB, SPB = _budgets(n, n_tiles, cp, budget_scale, round_size)
     # aligned job-list capacity: alignment adds < JPS per cluster run
     SPB_AL = SPB + -(-(JPS * cp) // round_size) * round_size
@@ -424,25 +544,39 @@ def intersect_epochs(
         w1P = jnp.where(last, BIG, t_enter + w1)[None, :]
         tb = jnp.minimum(t_best, tmax_p)
         bits = _cull_bits(clusters, oT, dT, tminP, tb[None, :], w0P, w1P,
-                          n_tiles, interpret)
+                          n_tiles, interpret, n_live_groups=n_live_groups)
 
-        # compact by SORT, not jnp.nonzero: set entries keep their
-        # (cluster, tile) flat index over the TRANSPOSED mask, the rest
-        # become INT_MAX, and one ascending sort is both the compaction
-        # AND the cluster-major job ordering. (nonzero lowers to
-        # cumsum + scatter-add bincount — measured 2–3× a plain sort at
-        # these sizes on TPU.)
+        # Pair compaction: compact-by-SORT of the transposed mask for
+        # small/medium masks (set entries keep their cluster-major flat
+        # index, rest INT_MAX — one ascending sort is both compaction AND
+        # job ordering; measured 60 ms at 16.8M on v5e), switching to the
+        # word-packed scheme (_compact_pairs_word) once the mask crosses
+        # WORD_COMPACT_MIN_M — the full-mask sort scales linearly
+        # (~500 ms/epoch at config[4]'s 134M) while the word path stays
+        # budget-bound. RAYTRACE_TPU_COMPACT=sort|word forces either.
+        import os
+
         MAXI = jnp.int32(2**31 - 1)
+        fill_pid = cp * n_subtiles - 1
         flatT = bits.T.reshape(-1)
         nzmask = flatT != 0
         n_pairs = jnp.sum(nzmask.astype(jnp.int32))
-        vals = jnp.where(
-            nzmask, jnp.arange(n_tiles * cp, dtype=jnp.int32), MAXI)
-        pair_idx = jax.lax.sort(vals)[:PB]
-        pair_safe = jnp.minimum(pair_idx, n_tiles * cp - 1)
-        pvalid = jnp.arange(PB) < jnp.minimum(n_pairs, PB)
-        pbits = jnp.where(pvalid, flatT[pair_safe], 0)
+        forced = os.environ.get("RAYTRACE_TPU_COMPACT")
+        use_word = (forced == "word" or
+                    (forced != "sort"
+                     and n_tiles * cp >= WORD_COMPACT_MIN_M))
+        if use_word:
+            pair_safe, pbits, _ = _compact_pairs_word(
+                flatT, n_tiles, cp, PB)
+        else:
+            vals = jnp.where(
+                nzmask, jnp.arange(n_tiles * cp, dtype=jnp.int32), MAXI)
+            pair_idx = jax.lax.sort(vals)[:PB]
+            pair_safe = jnp.minimum(pair_idx, n_tiles * cp - 1)
+            pvalid = jnp.arange(PB) < jnp.minimum(n_pairs, PB)
+            pbits = jnp.where(pvalid, flatT[pair_safe], 0)
 
+        # subpair expansion (shared): budget-bound PB·NSUB sort
         clus = (pair_safe // n_tiles).astype(jnp.int32)
         tile = (pair_safe % n_tiles).astype(jnp.int32)
         base = clus * n_subtiles + tile * NSUB  # [PB]
@@ -452,7 +586,6 @@ def intersect_epochs(
             submask, base[:, None] + jnp.arange(NSUB, dtype=jnp.int32),
             MAXI)
         n_sp = jnp.minimum(n_sp_all, SPB)
-        fill_pid = cp * n_subtiles - 1
         packed = jnp.minimum(jax.lax.sort(vals2.reshape(-1))[:SPB],
                              fill_pid)
 

@@ -105,22 +105,41 @@ def _radiance_shard(
             x = jax.lax.all_gather(x, ax, tiled=True)
         return x
 
-    def wave(state, p):
+    def trace_gathered(p):
         # disjoint global photon-id slice per chip
         photons_local = photon_renderer.trace_photons(
             scene, cfg_local, k_photon, p, path_offset=chip * paths_local
         )
-        photons_all = jax.tree_util.tree_map(gather_two_hop, photons_local)
-        state, _ = photon_renderer.gathering_pass(
-            scene, rec, state, photons_all, config
-        )
-        return state, None
+        return jax.tree_util.tree_map(gather_two_hop, photons_local)
 
-    # scan compiles ONE wave regardless of photon_passes (the single-chip
-    # renderer scans too — an unrolled loop here was pure compile bloat)
-    state, _ = jax.lax.scan(
-        wave, state, jnp.arange(config.photon_passes)
-    )
+    # SOFTWARE-PIPELINED waves: wave p's body STARTS the all_gather of its
+    # freshly traced map, then runs the gather pass on wave p−1's map — the
+    # collective has no consumer inside the step, so XLA's async collectives
+    # hide the DCN/ICI transfer under the next trace+gather compute instead
+    # of serializing on it (VERDICT r4 #2: the comm-model's ~98% 2-host
+    # claim assumed the all_gather sat on the critical path; now it
+    # doesn't). Each map is still gathered exactly once against exactly the
+    # state it would have met sequentially, so results are identical.
+    def wave(carry, p):
+        state, prev_map = carry
+        new_map = trace_gathered(p)
+        state, _ = photon_renderer.gathering_pass(
+            scene, rec, state, prev_map, config
+        )
+        return (state, new_map), None
+
+    if config.photon_passes > 1:
+        map0 = trace_gathered(jnp.int32(0))
+        (state, last_map), _ = jax.lax.scan(
+            wave, (state, map0), jnp.arange(1, config.photon_passes)
+        )
+        state, _ = photon_renderer.gathering_pass(
+            scene, rec, state, last_map, config
+        )
+    else:
+        state, _ = photon_renderer.gathering_pass(
+            scene, rec, state, trace_gathered(jnp.int32(0)), config
+        )
 
     emitting = jnp.float32(paths_local * n_chips * config.photon_passes)
     return photon_renderer.final_gathering(rec, direct, state, emitting)

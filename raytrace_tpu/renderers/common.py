@@ -174,7 +174,8 @@ def _camera_pass_impl(scene, o, d, config, rays, return_aux, record):
     def body(state):
         depth, active, o, d, atten, rec, ovf, rec_st = state
         tmin = jnp.full((n,), eps)
-        hit = isect_ops.intersect(scene, o, d, tmin, jnp.full((n,), BIG),
+        hit = isect_ops.intersect(scene, o, d, tmin,
+                                  jnp.where(active, jnp.float32(BIG), 0.0),
                                   rounds=config.intersect_rounds,
                                   budget_scale=config.intersect_budget_scale,
                                   coherent=True)
@@ -333,7 +334,8 @@ def _camera_pass_compact(
         """One specular bounce for the k queued lanes (k-sized ops only)."""
         bounce, alive, o_k, d_k, atten_k, st_k, rk, ovf_k, rec_k = s
         hit = isect_ops.intersect(
-            scene, o_k, d_k, jnp.full((k,), eps), jnp.full((k,), BIG),
+            scene, o_k, d_k, jnp.full((k,), eps),
+            jnp.where(alive, jnp.float32(BIG), 0.0),  # dead lanes cull 0
             rounds=config.intersect_rounds, coherent=True,
             budget_scale=config.intersect_budget_scale,
         )

@@ -125,10 +125,19 @@ def trace_photons(
     import dataclasses
 
     if config.differentiable:
-        # RR stays off (matching the previous differentiable estimator —
-        # the 1/P(kd) reweight would need a score-function term)
-        cfg_walk = dataclasses.replace(
-            config, differentiable=False, russian_roulette=False)
+        # Russian roulette STAYS ON under AD (round 5): record-and-replay
+        # yields the DETACHED-SAMPLING estimator for free — the survival
+        # indicator and the 1/P reweights live entirely inside
+        # sg(alpha_walk), and the replay ratio differentiates only
+        # N = Le·Πkd. Per surviving path the gradient is (dN/dθ)·alpha/N =
+        # g'/P, whose expectation over the survival Bernoulli(P) is
+        # exactly g' — the score-function term of the indicator cancels
+        # the -g·P'/P pathwise piece, leaving the detached form (the same
+        # cancellation detached-sampling differentiable renderers rely
+        # on). Bonus: the differentiable primal is now BIT-IDENTICAL to
+        # the forward render (round 4 ran the diff walk RR-off — ~1.5×
+        # the walk work and ~2× the valid photons through the gather VJP).
+        cfg_walk = dataclasses.replace(config, differentiable=False)
         scene_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
         pm, aux, chain, lid_slot = _trace_photons_core(
             scene_sg, cfg_walk, key, pass_idx, light_index, path_offset,
@@ -324,8 +333,14 @@ def _photon_step(
     width = o.shape[0]
     max_depth = config.max_photon_depth
     eps = jnp.float32(config.scene_epsilon)
+    # DEAD lanes get an empty t-window: the epoch/cluster engines sort them
+    # last and cull zero pairs for them, so a late queue bounce with 5%
+    # live lanes pays ~5% of the pair/MT work instead of re-intersecting
+    # every lane's stale ray at full price (measured: the config[4] trace
+    # is queue-batch bounces × full-width intersects without this)
     hit = isect_ops.intersect(
-        scene, o, d, jnp.full((width,), eps), jnp.full((width,), BIG),
+        scene, o, d, jnp.full((width,), eps),
+        jnp.where(act, jnp.float32(BIG), 0.0),
         rounds=config.intersect_rounds,
         budget_scale=config.intersect_budget_scale,
     )
@@ -359,13 +374,13 @@ def _photon_step(
     if config.russian_roulette and not config.differentiable:
         # the commented-out pbrt roulette, enabled
         # (photontracing.cu:173-178): P = min(1, y(anew)/y(alpha)).
-        # RR is OFF on the differentiable path: the survival test
-        # u <= P(kd) flips discretely under parameter perturbation
-        # (finite differences see jumps) and pathwise AD through the
-        # 1/P(kd) reweighting is biased without the score-function
-        # term — and the differentiable walk is a fixed-trip fori_loop
-        # anyway, so roulette saves no work there. Verified: without RR
-        # the FD/AD albedo check agrees to ~4 significant digits.
+        # `not differentiable` guards only the REVERSE-MODE fori_loop
+        # walk (where the survival branch has no transpose); the
+        # record-and-replay AD path runs this very branch with
+        # differentiable=False and keeps roulette ON — the 1/P reweight
+        # is stop-gradiented wholesale there (detached sampling, see
+        # trace_photons), which is unbiased: the indicator's score term
+        # cancels the pathwise -g·P'/P piece exactly.
         y_old = spectrum.luminance(alpha)
         y_new = spectrum.luminance(anew)
         p_cont = jnp.minimum(1.0, y_new / jnp.where(y_old == 0.0, 1.0, y_old))
@@ -634,7 +649,7 @@ def gathering_pass(
         )
         info = dict(valid_photons=jnp.sum(photons.valid).astype(jnp.int32),
                     max_cell_occupancy=jnp.int32(-1))  # -1 = exact path
-    elif config.differentiable and photons.p.shape[0] < (1 << 14):
+    elif config.differentiable and photons.p.shape[0] < (1 << 15):
         # small maps under AD: exact streamed all-pairs on EVERY backend
         # (linear in alpha/kd, no truncation budget anywhere on the AD
         # path). Round 3 only reached this inside _pallas_enabled(), so the
