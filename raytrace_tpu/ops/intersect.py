@@ -197,9 +197,43 @@ def _sphere_hit_batch(o, d, w2o, radius, tmin, tmax):
     return t
 
 
+def _sphere_hit_one(o, d, w2o_c, radius_c, tmin, tmax):
+    """One sphere vs rays [N,3] on flat [N]/[N,3] arrays only. The batched
+    [N,C,3] form tiles its (C,3) minor dims to (8,128) on TPU — at typical
+    C ≤ 8 that is a 5-40× pad, measured ~4 ms per 262k-ray family test for
+    a TWO-sphere scene (tools/profile_step.py); the unrolled form is pure
+    [N]-vector math."""
+    R = w2o_c[:3, :3]
+    oo = o @ R.T + w2o_c[:3, 3]
+    od = d @ R.T
+    a = jnp.sum(od * od, axis=-1)
+    b = 2.0 * jnp.sum(od * oo, axis=-1)
+    c = jnp.sum(oo * oo, axis=-1) - radius_c * radius_c
+    disc = b * b - 4.0 * a * c
+    ok = (disc >= 0.0) & (radius_c > 0.0)
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b < 0.0, -0.5 * (b - root), -0.5 * (b + root))
+    safe = lambda x, y: jnp.where(y != 0.0, x / jnp.where(y == 0.0, 1.0, y), BIG)
+    t0 = safe(q, a)
+    t1 = safe(c, q)
+    tlo = jnp.minimum(t0, t1)
+    thi = jnp.maximum(t0, t1)
+    in_range = lambda t: ok & (t > tmin) & (t < tmax)
+    return jnp.where(in_range(tlo), tlo, jnp.where(in_range(thi), thi, BIG))
+
+
 def intersect_spheres(scene: Scene, o, d, tmin, tmax, chunk: int = 64):
     sph = scene.spheres
     n_s = sph.count
+    if n_s <= 8:
+        best_t = jnp.full((o.shape[0],), BIG)
+        best_i = jnp.zeros((o.shape[0],), jnp.int32)
+        for c in range(n_s):
+            t = _sphere_hit_one(o, d, sph.w2o[c], sph.radius[c], tmin, tmax)
+            better = t < best_t
+            best_i = jnp.where(better, c, best_i)
+            best_t = jnp.minimum(best_t, t)
+        return best_t, best_i
     chunk, n_chunks, pad = _chunk_scan(n_s, chunk)
     def padder(x, fill):
         if pad:
@@ -292,7 +326,40 @@ def _disk_hit_batch(scene_disks, o, d, tmin, tmax):
     return jnp.where(ok, thit, BIG), lx, ly, dist2, phi
 
 
+def _disk_hit_one(dk, c, o, d, tmin, tmax):
+    """One disk vs rays [N,3] on flat arrays (see _sphere_hit_one)."""
+    zdotd = d @ dk.z[c]
+    zdoto = o @ dk.z[c]
+    thit = (dk.moffset[c] - zdoto) / jnp.where(zdotd == 0.0, 1e-20, zdotd)
+    phit = o + thit[:, None] * d
+    local = phit - dk.o[c]
+    lx = (local @ dk.x[c]) * dk.inv_r2[c, 0]
+    ly = (local @ dk.y[c]) * dk.inv_r2[c, 1]
+    dist2 = lx * lx + ly * ly
+    phi = jnp.arctan2(ly, lx)
+    phi = jnp.where(phi < 0.0, phi + 2.0 * math.pi, phi)
+    inner = dk.inner_radius[c]
+    ok = (
+        (thit > tmin)
+        & (thit < tmax)
+        & (dist2 <= 1.0)
+        & (dist2 >= inner * inner)
+        & (phi <= dk.phi_max[c])
+    )
+    return jnp.where(ok, thit, BIG)
+
+
 def intersect_disks(scene: Scene, o, d, tmin, tmax):
+    dk = scene.disks
+    if dk.count <= 8:
+        best_t = jnp.full((o.shape[0],), BIG)
+        best_i = jnp.zeros((o.shape[0],), jnp.int32)
+        for c in range(dk.count):
+            t = _disk_hit_one(dk, c, o, d, tmin, tmax)
+            better = t < best_t
+            best_i = jnp.where(better, c, best_i)
+            best_t = jnp.minimum(best_t, t)
+        return best_t, best_i
     t, _, _, _, _ = _disk_hit_batch(scene.disks, o, d, tmin, tmax)
     i = jnp.argmin(t, axis=1)
     rows = jnp.arange(o.shape[0])
@@ -534,16 +601,24 @@ def intersect(scene: Scene, o, d, tmin, tmax, tri_chunk: int = 256,
         attrs = cands[0][1]()
         p, ng, ns, dpdu, dpdv, uv, mat, light = attrs
     else:
-        ts = jnp.stack([c[0] for c in cands], axis=0)  # [F, N]
-        fam = jnp.argmin(ts, axis=0)  # [N]
-        t = jnp.min(ts, axis=0)
+        ts = [c[0] for c in cands]
+        t = ts[0]
+        for tf in ts[1:]:
+            t = jnp.minimum(t, tf)
         valid = t < BIG
         attrs = [c[1]() for c in cands]
+        # family select as [N]/[N,·] where-chains (first family winning
+        # ties, like the former argmin): a stacked [F, N, 3] gather pads
+        # its 3-lane minor dim to 128 on TPU — pure rank-2 selects don't
+        wins = [tf <= t for tf in ts[:-1]]  # last family is the fallback
 
         def pick(k):
-            x = jnp.stack([a[k] for a in attrs], axis=0)  # [F, N, ...]
-            idx = fam.reshape((1,) + fam.shape + (1,) * (x.ndim - 2))
-            return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=0)[0]
+            out = attrs[-1][k]
+            for f in range(len(cands) - 2, -1, -1):
+                m = wins[f]
+                a = attrs[f][k]
+                out = jnp.where(m[:, None] if a.ndim == 2 else m, a, out)
+            return out
 
         p, ng, ns, dpdu, dpdv, uv = (pick(k) for k in range(6))
         mat = pick(6)

@@ -169,8 +169,6 @@ def _camera_pass_impl(scene, o, d, config, rays, return_aux, record):
         depth, active, *_ = state
         return (depth <= config.max_specular_depth) & jnp.any(active)
 
-    rows = jnp.arange(n)
-
     def body(state):
         depth, active, o, d, atten, rec, ovf, rec_st = state
         tmin = jnp.full((n,), eps)
@@ -226,8 +224,10 @@ def _camera_pass_impl(scene, o, d, config, rays, return_aux, record):
                 scene.materials, hit.mat)
             chain, cptr = rec_st
             col = jnp.clip(cptr, 0, DS - 1)
-            chain = chain.at[rows, col].set(
-                jnp.where(rec_m, hit.mat, chain[rows, col]))
+            ccols = jnp.arange(DS, dtype=jnp.int32)
+            chain = jnp.where(
+                rec_m[:, None] & (ccols[None, :] == col[:, None]),
+                hit.mat[:, None], chain)
             rec_st = (chain, cptr + rec_m.astype(jnp.int32))
         return depth + 1, spec_hit, o2, d2, atten2, rec, ovf, rec_st
 
@@ -328,8 +328,6 @@ def _camera_pass_compact(
         bounce, alive, *_ = s
         return (bounce <= cap) & jnp.any(alive)
 
-    krows = jnp.arange(k)
-
     def inner_body(s):
         """One specular bounce for the k queued lanes (k-sized ops only)."""
         bounce, alive, o_k, d_k, atten_k, st_k, rk, ovf_k, rec_k = s
@@ -364,8 +362,13 @@ def _camera_pass_compact(
             rec_m = spec_k & mat_ops.kd_in_specular(scene.materials, hit.mat)
             ch_k, cp_k = rec_k
             col = jnp.clip(cp_k, 0, DS - 1)
-            ch_k = ch_k.at[krows, col].set(
-                jnp.where(rec_m, hit.mat, ch_k[krows, col]))
+            # one-hot column select instead of `.at[krows, col].set` — the
+            # per-row scatter serializes on the scalar core (tools/
+            # exp_scatter.py: 11.6 → 1.5 ms per 262k-row write)
+            ccols = jnp.arange(DS, dtype=jnp.int32)
+            ch_k = jnp.where(
+                rec_m[:, None] & (ccols[None, :] == col[:, None]),
+                hit.mat[:, None], ch_k)
             rec_k = (ch_k, cp_k + rec_m.astype(jnp.int32))
         return (bounce + 1, spec_k, o_k, d_k, atten_k, st_k, rk, ovf_k,
                 rec_k)
@@ -394,9 +397,9 @@ def _camera_pass_compact(
         st_k = jnp.where(alive_end, 2, st_k)
 
         def scat(buf, val):
-            return buf.at[idx_raw].set(
-                wk(sel, val, buf[idx]), mode="drop"
-            )
+            # fill lanes have idx_raw = n → dropped; selected lanes always
+            # write their batch value, so no old-row gather is needed
+            return buf.at[idx_raw].set(val, mode="drop")
 
         rec = CameraRecords(
             status=scat(rec.status, st_k),
@@ -413,9 +416,10 @@ def _camera_pass_compact(
             footprint=rec.footprint,
         )
         if record:
+            # ch_k was seeded from chain_g[idx], so fill lanes (dropped
+            # anyway) and sel lanes alike carry the right rows
             ch_k, _ = rec_k
-            chain_g = chain_g.at[idx_raw].set(
-                jnp.where(sel[:, None], ch_k, chain_g[idx]), mode="drop")
+            chain_g = chain_g.at[idx_raw].set(ch_k, mode="drop")
         active = active.at[idx_raw].set(False, mode="drop")
         return it + 1, active, o, d, atten, rec, ovf + ovf_k, chain_g
 

@@ -172,6 +172,49 @@ def trace_photons(
     return pm
 
 
+def _dep_write(buf, dep, slot, v, depth: int, width: int):
+    """Masked per-path deposit into a [rows, depth·width] slab buffer WITHOUT
+    a scatter: one-hot on the slot column, pure elementwise select.
+
+    Rationale (round 5, tools/exp_scatter*.py on v5e): the former flat
+    `buf.at[row·depth+slot].set(...)` scatter measured 11.6 ms per 262k-row
+    write — 4 of them per walk step were ~half the whole trace pass. The
+    dense rewrite is 1.5–2 ms for the same update (bit-identical result),
+    because TPU scatters serialize on the scalar core while this form is
+    pure VPU/HBM streaming."""
+    cols = jnp.arange(depth * width, dtype=jnp.int32) // jnp.int32(width)
+    mask = dep[:, None] & (cols[None, :] == slot[:, None])
+    return jnp.where(mask, jnp.tile(v, (1, depth)), buf)
+
+
+def _dep_mark(valid, dep, slot, depth: int):
+    """Validity counterpart of _dep_write: valid [rows, depth] |= one-hot."""
+    cols = jnp.arange(depth, dtype=jnp.int32)
+    return valid | (dep[:, None] & (cols[None, :] == slot[:, None]))
+
+
+def _chain_append(chain, app, col, mat, CH: int):
+    """chain [rows, CH] one-hot append (same scatter-avoidance as
+    _dep_write: `.at[rows, col].set` is a serialized row scatter)."""
+    cols = jnp.arange(CH, dtype=jnp.int32)
+    mask = app[:, None] & (cols[None, :] == col[:, None])
+    return jnp.where(mask, mat[:, None], chain)
+
+
+def _bounce_uniforms(k_bounce, gids, n_int):
+    """3 uniforms for this bounce, a pure function of (pass key, GLOBAL path
+    id, n_int) — sharding-invariant like the precomputed table it replaces
+    (the [paths, depth+1, 3] table needed a per-step 262k-row gather from a
+    rank-3 array, measured ~5-10 ms/step; two threefry fold_ins are ~0.3 ms).
+    Each diffuse continuation has a distinct n_int (cont always increments),
+    so no bounce ever reuses another bounce's numbers."""
+    def one(g, ni):
+        k = jax.random.fold_in(jax.random.fold_in(k_bounce, g), ni)
+        return jax.random.uniform(k, (3,), dtype=jnp.float32)
+
+    return jax.vmap(one)(gids, n_int)
+
+
 def _trace_photons_core(
     scene: Scene,
     config: RenderConfig,
@@ -217,41 +260,34 @@ def _trace_photons_core(
     alpha = vec.absdot(ns_l, d)[:, None] * le / jnp.where(pdf == 0.0, 1.0, pdf)[:, None]
     alive = (pdf > 0.0) & ~spectrum.is_black(le)
 
-    # 3 uniforms per diffuse bounce (photonmappingrenderer.cpp:182,208-210),
-    # derived per-path from the GLOBAL path id so any sharding reproduces the
-    # exact same photon set
-    path_keys = jax.vmap(lambda i: jax.random.fold_in(k_bounce, i))(
-        global_path_ids
-    )
-    uniforms = jax.vmap(
-        lambda k: jax.random.uniform(k, (max_depth + 1, 3), dtype=jnp.float32)
-    )(path_keys)
-
-    # photon slot buffers are kept FLAT [paths·max_depth, 3] throughout —
-    # slot index = path·max_depth + n_int-1 (the reference's pm_index
-    # striding, photontracing.cu:82). Rank-3 [paths, depth, 3] buffers tile
-    # pathologically on TPU (the (4, 128) layout pads 4×3 minor dims 42×,
-    # 192 MB → 8 GB — a measured OOM at the 4M-path config).
+    # Photon slot buffers are [paths, max_depth·3] slabs (one row per path,
+    # one 3-wide column block per deposit slot — the reference's pm_index
+    # striding, photontracing.cu:82, as a row-local column index). Deposits
+    # are written with _dep_write's dense one-hot select instead of a
+    # scatter (measured 11.6 → 1.5 ms per step-write on v5e); the final
+    # reshape to the flat [paths·max_depth, 3] map is layout-compatible
+    # (row-major), so downstream consumers see the exact same slot order.
+    # (Rank-3 [paths, depth, 3] buffers are still avoided: their (8, 128)
+    # tiling pads the 4×3 minor dims 42× — a measured OOM at 4M paths.)
     n_slots = n_paths * max_depth
     CH = config.max_photon_bounces  # chain capacity (≤ one append per step)
-    ph_p = jnp.zeros((n_slots, 3), jnp.float32)
-    ph_alpha = jnp.zeros((n_slots, 3), jnp.float32)
-    ph_wi = jnp.zeros((n_slots, 3), jnp.float32)
-    ph_valid = jnp.zeros((n_slots,), bool)
-    ph_chain = (jnp.full((n_slots, CH), -1, jnp.int32) if record else None)
+    ph_p = jnp.zeros((n_paths, max_depth * 3), jnp.float32)
+    ph_alpha = jnp.zeros((n_paths, max_depth * 3), jnp.float32)
+    ph_wi = jnp.zeros((n_paths, max_depth * 3), jnp.float32)
+    ph_valid = jnp.zeros((n_paths, max_depth), bool)
+    ph_chain = (jnp.full((n_paths, max_depth * CH), -1, jnp.int32)
+                if record else None)
 
     step = partial(_photon_step, scene, config)
     k = common.compact_queue_size(config, n_paths)
     if k:
         ((ph_p, ph_alpha, ph_wi, ph_valid), pair_ovf,
          ph_chain) = _photon_walk_compact(
-            step, uniforms, alive, o, d, alpha,
+            step, k_bounce, global_path_ids, alive, o, d, alpha,
             (ph_p, ph_alpha, ph_wi, ph_valid), config, k,
             ph_chain=ph_chain,
         )
     else:
-        rows = jnp.arange(n_paths)
-
         def cond(state):
             it, alive, *_ = state
             return (it < config.max_photon_bounces) & jnp.any(alive)
@@ -259,30 +295,24 @@ def _trace_photons_core(
         def body(state):
             it, alive, o, d, alpha, n_int, ph, ovf, rec_st = state
             ph_p, ph_alpha, ph_wi, ph_valid, ph_ch = ph
-            u = uniforms[rows, jnp.clip(n_int, 0, max_depth)]
+            u = _bounce_uniforms(k_bounce, global_path_ids, n_int)
             out = step(o, d, alpha, n_int, alive, u)
             ovf = ovf + out["pair_overflow"]
             dep = out["deposit"]
-            fslot = rows * max_depth + out["slot"]
-            dep_val = lambda buf, v: buf.at[fslot].set(
-                jnp.where(dep[:, None] if v.ndim == 2 else dep,
-                          v, buf[fslot])
-            )
-            ph_p = dep_val(ph_p, out["dep_p"])
-            ph_alpha = dep_val(ph_alpha, out["dep_alpha"])
-            ph_wi = dep_val(ph_wi, out["dep_wi"])
-            ph_valid = ph_valid.at[fslot].set(
-                jnp.where(dep, True, ph_valid[fslot])
-            )
+            slot = out["slot"]
+            ph_p = _dep_write(ph_p, dep, slot, out["dep_p"], max_depth, 3)
+            ph_alpha = _dep_write(ph_alpha, dep, slot, out["dep_alpha"],
+                                  max_depth, 3)
+            ph_wi = _dep_write(ph_wi, dep, slot, out["dep_wi"], max_depth, 3)
+            ph_valid = _dep_mark(ph_valid, dep, slot, max_depth)
             if record:
                 chain, cptr = rec_st
                 # deposit FIRST (its alpha excludes this surface), then
                 # append this bounce's material for the continuation
-                ph_ch = dep_val(ph_ch, chain)
+                ph_ch = _dep_write(ph_ch, dep, slot, chain, max_depth, CH)
                 app = out["append"]
                 col = jnp.clip(cptr, 0, CH - 1)
-                chain = chain.at[rows, col].set(
-                    jnp.where(app, out["append_mat"], chain[rows, col]))
+                chain = _chain_append(chain, app, col, out["append_mat"], CH)
                 cptr = cptr + app.astype(jnp.int32)
                 rec_st = (chain, cptr)
             return (
@@ -307,8 +337,13 @@ def _trace_photons_core(
             remat=config.remat_walks,
         )
     pm = photon_grid.PhotonMap(
-        p=ph_p, alpha=ph_alpha, wi=ph_wi, valid=ph_valid
+        p=ph_p.reshape(n_slots, 3),
+        alpha=ph_alpha.reshape(n_slots, 3),
+        wi=ph_wi.reshape(n_slots, 3),
+        valid=ph_valid.reshape(n_slots),
     )
+    if record:
+        ph_chain = ph_chain.reshape(n_slots, CH)
     # per-slot light id (pure function of global path ids — no recording)
     if record:
         if light_index is None and n_lights > 1:
@@ -419,45 +454,42 @@ def _photon_step(
     )
 
 
-def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k,
-                         ph_chain=None):
+def _photon_walk_compact(step, k_bounce, gids, alive, o, d, alpha, ph,
+                         config, k, ph_chain=None):
     """Photon walk with survivor compaction (see common.compact_queue_size):
     step 0 runs full-batch (every path is live), then survivors are gathered
     into a static k-wide queue and walked TO COMPLETION by an inner bounce
-    loop over k lanes only; their [max_depth]-slot deposit rows scatter back
-    once per batch. (Round-2 re-compacted every bounce — a full-width
-    jnp.nonzero + full-width state scatters per step, measured as the bulk
-    of the trace pass.) Each path takes at most `max_photon_bounces` steps,
-    so the walks produce the same photon sets as the full-batch loop up to
-    XLA fusion noise."""
+    loop over k lanes only; their deposit slab rows write back once per
+    batch. (Round-2 re-compacted every bounce — a full-width jnp.nonzero +
+    full-width state scatters per step, measured as the bulk of the trace
+    pass; round 5 replaced the per-step flat-slot scatters with
+    _dep_write's dense one-hot and the per-batch [k·depth]-row
+    gather/scatter pairs with k-ROW slab gathers/scatters.) Each path takes
+    at most `max_photon_bounces` steps, so the walks produce the same
+    photon sets as the full-batch loop up to XLA fusion noise."""
     n = o.shape[0]
     max_depth = config.max_photon_depth
     record = ph_chain is not None
     CH = config.max_photon_bounces
-    ph_p, ph_alpha, ph_wi, ph_valid = ph  # FLAT [n·max_depth, ...] buffers
-    rows = jnp.arange(n)
+    ph_p, ph_alpha, ph_wi, ph_valid = ph  # [n, max_depth·w] slab buffers
     chain = (jnp.full((n, CH), -1, jnp.int32) if record else None)
     cptr = (jnp.zeros((n,), jnp.int32) if record else None)
 
     # ---- step 0: full batch ----------------------------------------------
-    u0 = uniforms[rows, 0]
+    u0 = _bounce_uniforms(k_bounce, gids, jnp.zeros((n,), jnp.int32))
     out = step(o, d, alpha, jnp.zeros((n,), jnp.int32), alive, u0)
     pair_ovf = out["pair_overflow"]
     dep = out["deposit"]
-    fslot = rows * max_depth + out["slot"]
-    dep_val = lambda buf, v: buf.at[fslot].set(
-        jnp.where(dep[:, None] if v.ndim == 2 else dep, v, buf[fslot])
-    )
-    ph_p = dep_val(ph_p, out["dep_p"])
-    ph_alpha = dep_val(ph_alpha, out["dep_alpha"])
-    ph_wi = dep_val(ph_wi, out["dep_wi"])
-    ph_valid = ph_valid.at[fslot].set(jnp.where(dep, True, ph_valid[fslot]))
+    slot = out["slot"]
+    ph_p = _dep_write(ph_p, dep, slot, out["dep_p"], max_depth, 3)
+    ph_alpha = _dep_write(ph_alpha, dep, slot, out["dep_alpha"], max_depth, 3)
+    ph_wi = _dep_write(ph_wi, dep, slot, out["dep_wi"], max_depth, 3)
+    ph_valid = _dep_mark(ph_valid, dep, slot, max_depth)
     if record:
-        ph_chain = dep_val(ph_chain, chain)
+        ph_chain = _dep_write(ph_chain, dep, slot, chain, max_depth, CH)
         app = out["append"]
         col = jnp.clip(cptr, 0, CH - 1)
-        chain = chain.at[rows, col].set(
-            jnp.where(app, out["append_mat"], chain[rows, col]))
+        chain = _chain_append(chain, app, col, out["append_mat"], CH)
         cptr = cptr + app.astype(jnp.int32)
     alive = out["alive"]
     o, d, alpha, n_int = out["o"], out["d"], out["alpha"], out["n_int"]
@@ -479,8 +511,6 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k,
     warm_cfg = config.compact_warm_steps or (3 if n < (1 << 21) else 1)
     warm = min(warm_cfg, config.max_photon_bounces - 1)
     if warm > 1:
-        rows_w = jnp.arange(n)
-
         def wcond(s):
             it, alive, *_ = s
             return (it < warm) & jnp.any(alive)
@@ -488,28 +518,22 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k,
         def wbody(s):
             it, alive, o, d, alpha, n_int, ph, ovf, rec_st = s
             ph_p, ph_alpha, ph_wi, ph_valid, ph_ch = ph
-            u = uniforms[rows_w, jnp.clip(n_int, 0, max_depth)]
+            u = _bounce_uniforms(k_bounce, gids, n_int)
             out = step(o, d, alpha, n_int, alive, u)
             ovf = ovf + out["pair_overflow"]
             dep = out["deposit"]
-            fslot = rows_w * max_depth + out["slot"]
-            dep_val = lambda buf, v: buf.at[fslot].set(
-                jnp.where(dep[:, None] if v.ndim == 2 else dep, v,
-                          buf[fslot])
-            )
-            ph_p = dep_val(ph_p, out["dep_p"])
-            ph_alpha = dep_val(ph_alpha, out["dep_alpha"])
-            ph_wi = dep_val(ph_wi, out["dep_wi"])
-            ph_valid = ph_valid.at[fslot].set(
-                jnp.where(dep, True, ph_valid[fslot])
-            )
+            slot = out["slot"]
+            ph_p = _dep_write(ph_p, dep, slot, out["dep_p"], max_depth, 3)
+            ph_alpha = _dep_write(ph_alpha, dep, slot, out["dep_alpha"],
+                                  max_depth, 3)
+            ph_wi = _dep_write(ph_wi, dep, slot, out["dep_wi"], max_depth, 3)
+            ph_valid = _dep_mark(ph_valid, dep, slot, max_depth)
             if record:
                 ch, cp = rec_st
-                ph_ch = dep_val(ph_ch, ch)
+                ph_ch = _dep_write(ph_ch, dep, slot, ch, max_depth, CH)
                 app = out["append"]
                 col = jnp.clip(cp, 0, CH - 1)
-                ch = ch.at[rows_w, col].set(
-                    jnp.where(app, out["append_mat"], ch[rows_w, col]))
+                ch = _chain_append(ch, app, col, out["append_mat"], CH)
                 rec_st = (ch, cp + app.astype(jnp.int32))
             alive2 = out["alive"] & (it + 1 < config.max_photon_bounces)
             return (it + 1, alive2, out["o"], out["d"], out["alpha"],
@@ -530,7 +554,6 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k,
         wsteps = jnp.int32(1)
 
     max_batches = -(-n // k)
-    krows = jnp.arange(k)
 
     def inner_cond(s):
         stp, alive_k, *_ = s
@@ -538,33 +561,28 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k,
 
     def inner_body(s):
         """One walk step for the k queued lanes — k-sized ops only; deposits
-        land in the batch-local flat [k·max_depth] rows."""
-        (stp, alive_k, o_k, d_k, a_k, ni_k, idx, dph, ovf_k,
+        land in the batch-local [k, max_depth·w] slab rows."""
+        (stp, alive_k, o_k, d_k, a_k, ni_k, gid_k, dph, ovf_k,
          rec_k) = s
         dp, da, dw, dv, dc = dph
-        u = uniforms[idx, jnp.clip(ni_k, 0, max_depth)]
+        u = _bounce_uniforms(k_bounce, gid_k, ni_k)
         out = step(o_k, d_k, a_k, ni_k, alive_k, u)
         ovf_k = ovf_k + out["pair_overflow"]
         depk = out["deposit"]
-        fslot_k = krows * max_depth + out["slot"]
-        dep_val = lambda buf, v: buf.at[fslot_k].set(
-            jnp.where(depk[:, None] if v.ndim == 2 else depk,
-                      v, buf[fslot_k])
-        )
-        dp = dep_val(dp, out["dep_p"])
-        da = dep_val(da, out["dep_alpha"])
-        dw = dep_val(dw, out["dep_wi"])
-        dv = dv.at[fslot_k].set(jnp.where(depk, True, dv[fslot_k]))
+        slot = out["slot"]
+        dp = _dep_write(dp, depk, slot, out["dep_p"], max_depth, 3)
+        da = _dep_write(da, depk, slot, out["dep_alpha"], max_depth, 3)
+        dw = _dep_write(dw, depk, slot, out["dep_wi"], max_depth, 3)
+        dv = _dep_mark(dv, depk, slot, max_depth)
         if record:
             ch_k, cp_k = rec_k
-            dc = dep_val(dc, ch_k)
+            dc = _dep_write(dc, depk, slot, ch_k, max_depth, CH)
             app = out["append"]
             col = jnp.clip(cp_k, 0, CH - 1)
-            ch_k = ch_k.at[krows, col].set(
-                jnp.where(app, out["append_mat"], ch_k[krows, col]))
+            ch_k = _chain_append(ch_k, app, col, out["append_mat"], CH)
             rec_k = (ch_k, cp_k + app.astype(jnp.int32))
         return (stp + 1, out["alive"], out["o"], out["d"], out["alpha"],
-                out["n_int"], idx, (dp, da, dw, dv, dc), ovf_k, rec_k)
+                out["n_int"], gid_k, (dp, da, dw, dv, dc), ovf_k, rec_k)
 
     def outer_cond(s):
         it, alive, *_ = s
@@ -576,32 +594,29 @@ def _photon_walk_compact(step, uniforms, alive, o, d, alpha, ph, config, k,
         idx_raw = jnp.nonzero(alive, size=k, fill_value=n)[0]
         sel = idx_raw < n
         idx = jnp.minimum(idx_raw, n - 1)
-        # flat slot rows of the selected paths (k·max_depth indices)
-        fidx_raw = (
-            idx_raw[:, None] * max_depth + jnp.arange(max_depth)[None, :]
-        ).reshape(-1)
-        fidx = jnp.minimum(fidx_raw, n * max_depth - 1)
-        selk = jnp.repeat(sel, max_depth)
 
-        # batch-local deposit rows seeded from the full-width-step deposits
-        # so the final row write-back can't erase them
-        dph = (ph_p[fidx], ph_alpha[fidx], ph_wi[fidx], ph_valid[fidx],
-               ph_ch[fidx] if record else None)
+        # batch-local slab rows seeded from the full-width-step deposits so
+        # the final row write-back can't erase them (k-ROW gathers — the
+        # former flat [k·max_depth]-row form cost a full-width scatter's
+        # worth per buffer per batch)
+        dph = (ph_p[idx], ph_alpha[idx], ph_wi[idx], ph_valid[idx],
+               ph_ch[idx] if record else None)
         rec_k = ((chain[idx], cptr[idx]) if record else ())
         init = (wsteps, sel, o[idx], d[idx], alpha[idx], n_int[idx],
-                idx, dph, jnp.int32(0), rec_k)
+                gids[idx], dph, jnp.int32(0), rec_k)
         _, _, _, _, _, _, _, dph, ovf_k, _ = jax.lax.while_loop(
             inner_cond, inner_body, init
         )
-        scat_rows = lambda buf, v, m: buf.at[fidx_raw].set(
-            jnp.where(m, v, buf[fidx]), mode="drop"
-        )
+        # unselected (fill) lanes never run a live step (act=False → no
+        # deposit), so their dph rows are untouched seeds; idx_raw = n for
+        # them → dropped by the scatter
+        scat = lambda buf, v: buf.at[idx_raw].set(v, mode="drop")
         ph = (
-            scat_rows(ph_p, dph[0], selk[:, None]),
-            scat_rows(ph_alpha, dph[1], selk[:, None]),
-            scat_rows(ph_wi, dph[2], selk[:, None]),
-            scat_rows(ph_valid, dph[3], selk),
-            scat_rows(ph_ch, dph[4], selk[:, None]) if record else None,
+            scat(ph_p, dph[0]),
+            scat(ph_alpha, dph[1]),
+            scat(ph_wi, dph[2]),
+            scat(ph_valid, dph[3]),
+            scat(ph_ch, dph[4]) if record else None,
         )
         alive2 = alive.at[idx_raw].set(False, mode="drop")
         return it + 1, alive2, ph, ovf + ovf_k
