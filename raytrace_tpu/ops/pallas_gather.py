@@ -648,22 +648,23 @@ def gather_radius_pallas_rowspan(
     order = jnp.argsort(pkey)
     pkey_s = pkey[order]
 
+    # ONE packed [P, 16] row-gather instead of ten [P]-row gathers (the ten
+    # gathers measured +65 ms of the prep at 2M slots —
+    # tools/exp_gather_anatomy.py). Geometry cols are stop-gradiented;
+    # alpha cols (8-10) stay differentiable, and the slice below puts the
+    # custom-VJP boundary exactly on them.
+    packed = jnp.concatenate(
+        [pp, sg(photons_wi), pv.astype(jnp.float32)[:, None],
+         jnp.zeros((p, 1), jnp.float32), photons_alpha,
+         jnp.zeros((p, _GROWS + _AROWS - 11), jnp.float32)], axis=1)
+    packed_s = packed[order]  # [P, 16]
     p_pad = -p % chunk
-    pad1 = lambda x: jnp.pad(x, (0, p_pad))
-    # geometry rows (stop-gradient) and alpha rows (differentiable) are
-    # separate tensors so the custom VJP boundary sits exactly on alpha
-    grows = [pp[order][:, k] for k in range(3)]
-    grows += [sg(photons_wi)[order][:, k] for k in range(3)]
-    grows += [pv[order].astype(jnp.float32)]
-    gdata = jnp.stack([pad1(rw) for rw in grows], axis=0)
-    gdata = jnp.pad(gdata, ((0, _GROWS - gdata.shape[0]), (0, 0)))
-    n_chunks = gdata.shape[1] // chunk
-    gdata = gdata.reshape(_GROWS, n_chunks, chunk).transpose(1, 0, 2)
-    adata = jnp.stack(
-        [pad1(photons_alpha[order][:, k]) for k in range(3)], axis=0
-    )
-    adata = jnp.pad(adata, ((0, _AROWS - adata.shape[0]), (0, 0)))
-    adata = adata.reshape(_AROWS, n_chunks, chunk).transpose(1, 0, 2)
+    packed_s = jnp.pad(packed_s, ((0, p_pad), (0, 0)))
+    n_chunks = packed_s.shape[0] // chunk
+    both = packed_s.T.reshape(
+        _GROWS + _AROWS, n_chunks, chunk).transpose(1, 0, 2)
+    gdata = both[:, :_GROWS]  # rows: px py pz wx wy wz valid pad
+    adata = both[:, _GROWS:]  # rows: ax ay az + pad
 
     # ---- Morton-sort queries for tile spatial coherence
     live = radius2 > 0.0
@@ -747,24 +748,50 @@ def gather_radius_pallas_rowspan(
     c_lo = jnp.where(has, lo_e // chunk, 0)
     c_hi = jnp.where(has, -(-hi_e // chunk), 0)  # exclusive
 
-    # ---- rasterize spans → [tiles, chunks] coverage, OR-merged ------------
-    iota_c = jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
-    cov = jnp.zeros((n_tiles, n_chunks), bool)
-    for r in range(r_max):
-        cov = cov | ((iota_c >= c_lo[:, r:r + 1]) & (iota_c < c_hi[:, r:r + 1]))
-    # seed chunk 0 for every tile: guarantees each output block is visited
-    # (and zero-initialized) even when a tile has no covered chunks, and
-    # pins fill jobs to an already-seen tile (cluster_intersect.py:273-275)
-    cov = cov.at[:, 0].set(True)
-
-    flat = cov.reshape(-1)
-    n_jobs = jnp.sum(flat.astype(jnp.int32))
+    # ---- job list by span-merge + run-expansion ---------------------------
+    # The former [n_tiles, n_chunks] bool OR-rasterize + global jnp.nonzero
+    # measured +75 ms at 2M slots / 2048 tiles (tools/exp_gather_anatomy.py).
+    # Instead: sort each tile's ≤ r_max+1 spans by start chunk, clip
+    # overlaps against an exclusive running max of the ends (the union
+    # survives exactly), prefix-sum clipped lengths into span offsets, and
+    # expand job ids with the scatter-ones + cumsum run-expansion idiom
+    # (ops/epoch_intersect.py uses the same form). A synthetic [0, 1) span
+    # per tile keeps the chunk-0 seeding: every tile's output block is
+    # visited/zero-initialized, and fill jobs land on a real, already-seen
+    # tile. Jobs stay tile-major with ascending chunks, as the kernel and
+    # the overflow suffix-truncation contract require.
+    n_spans_t = r_max + 1
+    s_lo = jnp.concatenate(
+        [jnp.zeros((n_tiles, 1), jnp.int32), c_lo], axis=1)
+    s_hi = jnp.concatenate(
+        [jnp.ones((n_tiles, 1), jnp.int32), c_hi], axis=1)
+    s_lo, s_hi = jax.lax.sort((s_lo, s_hi), dimension=1, num_keys=1)
+    prev_hi = jnp.concatenate(
+        [jnp.zeros((n_tiles, 1), jnp.int32),
+         jax.lax.cummax(s_hi, axis=1)[:, :-1]], axis=1)
+    clip_lo = jnp.maximum(s_lo, prev_hi)
+    length = jnp.maximum(s_hi - clip_lo, 0)  # empty spans contribute 0
+    lens_flat = length.reshape(-1)  # [n_tiles·n_spans_t], tile-major
+    offs = jnp.cumsum(lens_flat)
+    n_jobs = offs[-1]
+    starts = offs - lens_flat  # inclusive start offset per span
     capacity = job_budget * rounds
-    (job_idx,) = jnp.nonzero(flat, size=capacity,
-                             fill_value=n_tiles * n_chunks)
-    pid_full = jnp.minimum(job_idx, n_tiles * n_chunks - 1).astype(jnp.int32)
     n_valid_total = jnp.minimum(n_jobs, capacity)
     overflow = jnp.maximum(n_jobs - capacity, 0)
+    # scatter each nonempty span's FLAT id (+1) at its start offset, then a
+    # running max assigns every job its span (distinct starts by
+    # construction; flat ids ascend with starts, so cummax is exact)
+    flat_ids = jnp.arange(n_tiles * n_spans_t, dtype=jnp.int32)
+    marks = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.where(lens_flat > 0, starts, capacity)
+    ].max(flat_ids + 1, mode="drop")
+    span_of_job = jnp.clip(jax.lax.cummax(marks) - 1, 0,
+                           n_tiles * n_spans_t - 1)
+    pos_in_span = (jnp.arange(capacity, dtype=jnp.int32)
+                   - starts[span_of_job])
+    chunk_of_job = jnp.minimum(
+        clip_lo.reshape(-1)[span_of_job] + pos_in_span, n_chunks - 1)
+    pid_full = (span_of_job // n_spans_t) * n_chunks + chunk_of_job
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
 
     # ---- multi-round execution -------------------------------------------
