@@ -102,6 +102,44 @@ def gather_stats(size=512, paths=1 << 18):
     }
 
 
+def vpu_peak_stats(n=1 << 23, k=256):
+    """Measured VPU-f32 ceiling on THIS chip: a k-deep FMA chain over an
+    f32[n] array inside one jitted fori_loop (XLA keeps the chain in
+    vregs/VMEM, so compute dominates). This is the honest denominator for
+    the PERF.md speed-of-light table — public spec sheets quote only the
+    bf16 MXU peak for v5e."""
+    x = jnp.linspace(0.1, 1.1, n, dtype=jnp.float32)
+
+    @jax.jit
+    def chain(x):
+        def body(_, y):
+            return y * jnp.float32(1.000001) + jnp.float32(1e-7)
+        import jax.lax as lax
+        return lax.fori_loop(0, k, body, x)
+
+    _, dt = bench(chain, x)
+    flops = 2.0 * n * k
+    return {"vpu_fma_tflops": flops / dt / 1e12, "vpu_fma_ms": dt * 1e3}
+
+
+def sort_stats(n=1 << 24):
+    """Achieved u32 sort throughput vs the HBM roofline — the epoch
+    engine's compaction is sort-based, so this bounds that stage."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.randint(key, (n,), 0, 1 << 30, dtype=jnp.int32)
+    fn = jax.jit(jnp.sort)
+    _, dt = bench(fn, x)
+    # a radix-style sort reads+writes the array O(passes) times; quote the
+    # single-pass (copy) bound as the SoL floor
+    bytes_floor = 2 * 4 * n
+    return {
+        "sort_n": n,
+        "sort_ms": dt * 1e3,
+        "sort_gbps_onepass": bytes_floor / dt / 1e9,
+        "sort_sol_ms_hbm_onepass": bytes_floor / (HBM_GBPS * 1e9) * 1e3,
+    }
+
+
 def cluster_stats(n_tris=1 << 20, size=512):
     from raytrace_tpu.core.config import RenderConfig
     from raytrace_tpu.ops import cluster_intersect as ci
@@ -117,8 +155,8 @@ def cluster_stats(n_tris=1 << 20, size=512):
         cl, o, d, jnp.full((n,), 1e-3), jnp.full((n,), 1e30)))
     (t, _, _, ovf), dt = bench(fn, scene.clusters, rays.o, rays.d)
     cl = scene.clusters
-    tris_per_cluster = cl.v0.shape[1]
-    n_clusters = cl.v0.shape[0]
+    tris_per_cluster = cl.tv.shape[2]
+    n_clusters = cl.tv.shape[0]
     return {
         "cluster_ms": dt * 1e3,
         "cluster_rays": n,
@@ -133,6 +171,8 @@ if __name__ == "__main__":
     import json
 
     out = {}
+    out.update(vpu_peak_stats())
+    out.update(sort_stats())
     out.update(gather_stats())
     out.update(cluster_stats())
     print(json.dumps(out, indent=2))

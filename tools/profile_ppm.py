@@ -33,6 +33,11 @@ def _fetch(out):
 
 
 def bench(name, fn, *args, iters=5):
+    # the axon tunnel reproducibly rejects the ~5th DISTINCT large program
+    # loaded in one process (INVALID_ARGUMENT on the first fetch) — drop
+    # compiled executables between timed sections so each pass loads fresh
+    # (timings are unaffected: each bench re-warms before the timed loop)
+    jax.clear_caches()
     out = fn(*args)
     _fetch(out)
     t0 = time.perf_counter()
@@ -119,6 +124,16 @@ def main():
     xy, lens = pixel_samples(k_pix, size, size, 1, jitter=True)
     rays = generate_rays(camera, xy, lens, 1)
 
+    # FULL pipeline first: timing it after the per-pass jits has twice
+    # produced a spurious axon INVALID_ARGUMENT on the final fetch (the
+    # per-pass programs + their live outputs interact badly with the big
+    # scan'd program on the tunnel backend; bench.py, which runs the same
+    # render_photon call in a fresh process, is unaffected).
+    # render_photon jits internally (scene as a dynamic arg; the light-
+    # sample counts are read host-side before tracing) — no outer jit
+    full = lambda sc, k: ph.render_photon(sc, camera, config, k)
+    _, t_full = bench("FULL pipeline", full, scene, key)
+
     # scene/rays enter as traced ARGS (closures would embed them as HLO
     # constants — at 4M-triangle scale that exceeds the remote compile
     # service's request size limit)
@@ -142,10 +157,6 @@ def main():
         sc, rec, st, pm, config))
     (_, _), t_g = bench("gathering_pass", gp, scene, rec, state, photons)
 
-    # render_photon jits internally (scene as a dynamic arg; the light-
-    # sample counts are read host-side before tracing) — no outer jit
-    full = lambda sc, k: ph.render_photon(sc, camera, config, k)
-    _, t_full = bench("FULL pipeline", full, scene, key)
     parts = t_cam + t_dl + t_tp + t_g
     print(f"{'sum of parts':28s} {parts * 1e3:9.2f} ms")
     print(f"rays/s (full): {size * size / t_full:,.0f}")
